@@ -1,0 +1,103 @@
+"""Unit tests for the core numeric ops (DCT-IV/DST-IV, FastLog, quantizers)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ulcx.ops import dct4, dst4, fast_log
+from ulcx.ops.dct import dct4_fft, dst4_fft, dct4_matmul, dst4_matmul
+from ulcx.ops.quant import (
+    companded_quantize,
+    companded_quantize_coef,
+    companded_quantize_unsigned,
+    expand_quantizer,
+)
+
+
+def direct_dct4(x):
+    n = x.shape[-1]
+    k = np.arange(n)
+    m = np.cos(np.pi / n * np.outer(k + 0.5, k + 0.5))
+    return x @ m
+
+
+def direct_dst4(x):
+    n = x.shape[-1]
+    k = np.arange(n)
+    m = np.sin(np.pi / n * np.outer(k + 0.5, k + 0.5))
+    return x @ m
+
+
+def test_dct4_backends_match_direct(rng):
+    for n in (16, 64, 256, 512):
+        x = rng.standard_normal((3, n))
+        ref = direct_dct4(x)
+        got_mm = np.asarray(dct4_matmul(jnp.asarray(x, jnp.float32)))
+        got_fft = np.asarray(dct4_fft(jnp.asarray(x, jnp.float32)))
+        scale = np.abs(ref).max()
+        assert np.abs(got_mm - ref).max() / scale < 2e-5, n
+        assert np.abs(got_fft - ref).max() / scale < 2e-5, n
+
+
+def test_dst4_backends_match_direct(rng):
+    for n in (16, 256):
+        x = rng.standard_normal((2, n))
+        ref = direct_dst4(x)
+        got_mm = np.asarray(dst4_matmul(jnp.asarray(x, jnp.float32)))
+        got_fft = np.asarray(dst4_fft(jnp.asarray(x, jnp.float32)))
+        scale = np.abs(ref).max()
+        assert np.abs(got_mm - ref).max() / scale < 2e-5, n
+        assert np.abs(got_fft - ref).max() / scale < 2e-5, n
+
+
+def numpy_fastlog(x):
+    """Direct transliteration of reference libulc/ulcHelper.h:128-136."""
+    x = np.float32(x)
+    bx = x.view(np.uint32)
+    ex = bx >> 23
+    t = ex.astype(np.int32) - 127
+    bx = np.uint32(127 << 23) | (bx & np.uint32((1 << 23) - 1))
+    m = bx.view(np.float32)
+    p = np.float32(-1.7417939) + (
+        np.float32(2.8212026)
+        + (np.float32(-1.4699568) + (np.float32(0.44717955) - np.float32(0.056570851) * m) * m) * m
+    ) * m
+    return p + np.float32(0.6931471806) * t.astype(np.float32)
+
+
+def test_fastlog_matches_reference_math(rng):
+    x = np.concatenate(
+        [
+            np.float32(10.0) ** rng.uniform(-30, 30, 2000).astype(np.float32),
+            np.float32([1e-38, 1.0, 2.0, 0.5, 4 / np.pi]),
+        ]
+    ).astype(np.float32)
+    got = np.asarray(fast_log(jnp.asarray(x)))
+    want = numpy_fastlog(x)
+    # identical bit-twiddling; only FMA contraction differences possible
+    assert np.abs(got - want).max() < 1e-5
+    # and it should approximate ln reasonably
+    assert np.abs(got - np.log(x.astype(np.float64))).max() < 2e-3
+
+
+def test_companded_quantize():
+    v = jnp.asarray([0.0, 0.2, 0.49, 0.5, 1.0, 2.0, 6.0, 6.3, 50.0], jnp.float32)
+    got = np.asarray(companded_quantize_unsigned(v))
+    # brute-force optimum: argmin over q of |q^2 - v|
+    for vi, qi in zip(np.asarray(v), got):
+        if vi < 0.5:
+            assert qi == 0
+        else:
+            best = min(range(0, 20), key=lambda q: abs(q * q - vi))
+            assert qi in (best, best + 1) and abs(qi * qi - vi) <= abs(best * best - vi) + 1e-4
+
+    sv = jnp.asarray([-2.0, 2.0, -0.2], jnp.float32)
+    assert np.asarray(companded_quantize(sv)).tolist() == [-1, 1, 0]
+    big = jnp.asarray([100.0, -100.0], jnp.float32)
+    assert np.asarray(companded_quantize_coef(big, 7)).tolist() == [7, -7]
+
+
+def test_expand_quantizer():
+    qi = jnp.arange(27)
+    got = np.asarray(expand_quantizer(qi))
+    want = 2.0 ** -(5.0 + np.arange(27))
+    assert np.allclose(got, want, rtol=0, atol=0)

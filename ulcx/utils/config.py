@@ -1,0 +1,78 @@
+"""Codec configuration.
+
+The reference's only configuration is three compile-time feature flags
+(reference include/ulcEncoder.h:9-33: ULC_USE_PSYCHOACOUSTICS,
+ULC_USE_NOISE_CODING, ULC_USE_WINDOW_SWITCHING) plus the CLI parameters
+(rate mode, block size, output PCM format). Here they are one runtime
+dataclass; everything is static from XLA's point of view (baked into the
+jitted program), so toggling a flag triggers a recompile, exactly like
+the reference's #ifdef but without rebuilding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+
+
+MIN_CHANS = 1
+MAX_CHANS = 255
+MIN_BANDS = 256          # reference libulc/ulcEncoder.c:20 (transient detector limit)
+MAX_BANDS = 32768
+MAX_BLOCK_DECIMATION_FACTOR = 8   # reference include/ulcEncoder.h:30
+MAX_SUBBLOCKS = 4
+COEF_EPS = 2.0 ** -31    # reference include/ulcEncoder.h:36
+
+N_BARK_BANDS = 25
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Static codec parameters shared by encoder and decoder.
+
+    Mirrors the reference's ULC_EncoderState_t globals (RateHz, nChan,
+    BlockSize; reference include/ulcEncoder.h:47-52) plus the three
+    feature flags as runtime switches.
+    """
+
+    rate_hz: int = 44100
+    n_chan: int = 2
+    block_size: int = 2048
+    use_psychoacoustics: bool = True
+    use_noise_coding: bool = True
+    use_window_switching: bool = True
+    # Transform backend: "matmul" uses MXU cosine-matrix products (exact,
+    # fastest for block sizes <= matmul_max_n), "fft" uses an FFT-based
+    # DCT-IV (O(N log N), needed for very large blocks), "auto" picks
+    # per subblock size.
+    transform_backend: str = "auto"
+    matmul_max_n: int = 4096
+
+    def __post_init__(self):
+        if not (MIN_CHANS <= self.n_chan <= MAX_CHANS):
+            raise ValueError(f"n_chan must be in [{MIN_CHANS},{MAX_CHANS}], got {self.n_chan}")
+        bs = self.block_size
+        if not (MIN_BANDS <= bs <= MAX_BANDS) or (bs & (bs - 1)) != 0:
+            raise ValueError(f"block_size must be a power of 2 in [{MIN_BANDS},{MAX_BANDS}], got {bs}")
+        if self.rate_hz < 1:
+            raise ValueError(f"rate_hz must be >= 1, got {self.rate_hz}")
+        if self.transform_backend not in ("auto", "matmul", "fft"):
+            raise ValueError(f"bad transform_backend {self.transform_backend!r}")
+
+    @cached_property
+    def max_decimation(self) -> int:
+        return MAX_BLOCK_DECIMATION_FACTOR if self.use_window_switching else 1
+
+    @cached_property
+    def subblock_sizes(self) -> tuple[int, ...]:
+        """All possible subblock sizes (block_size >> {0,1,2,3})."""
+        if not self.use_window_switching:
+            return (self.block_size,)
+        return tuple(self.block_size >> s for s in range(4))
+
+    def use_matmul(self, n: int) -> bool:
+        if self.transform_backend == "matmul":
+            return True
+        if self.transform_backend == "fft":
+            return False
+        return n <= self.matmul_max_n
