@@ -271,8 +271,7 @@ def decode_block(data, wc_expected, block_size, n_chan, rng: Xorshift):
             ok = _decode_segment(rd, out[c], off, ss, rng)
             if not ok:
                 return None
-    bits = (rd.bits + 7) & ~7
-    return out, wc, bits
+    return out, wc, rd.bits  # unpadded, like ULC_DecodeBlock
 
 
 def _read_quantizer(rd):

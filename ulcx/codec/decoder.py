@@ -1,0 +1,105 @@
+"""Block/stream decoder: bitstream FSM -> coefficients -> IMDCT -> PCM.
+
+Mirrors reference ULC_DecodeBlock (ulcDecoder.c:198-302): parse the
+window-control header, decode every (channel, subblock) segment's
+coefficients, inverse-transform with deferred-window lapping, undo the
+pairwise M/S. State carried across blocks is a pytree (inverse lap,
+last subblock size, xorshift RNG) — trivially checkpointable and
+scan/vmap-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ulcx.bitstream.decode import decode_block_tokens, expand_records
+from ulcx.codec.transform import block_imdct
+from ulcx.utils.config import CodecConfig
+
+
+class DecoderCarry(NamedTuple):
+    lap: jnp.ndarray           # [C, N/2]
+    prev_last_ss: jnp.ndarray  # scalar i32
+    rng: jnp.ndarray           # scalar u32 (reference's global seed 1234567)
+
+    @staticmethod
+    def init(cfg: CodecConfig):
+        return DecoderCarry(
+            lap=jnp.zeros((cfg.n_chan, cfg.block_size // 2), jnp.float32),
+            prev_last_ss=jnp.int32(0),
+            rng=jnp.uint32(1234567),
+        )
+
+
+def inverse_ms(block: jnp.ndarray) -> jnp.ndarray:
+    """Undo pairwise M/S: (m, s) -> (m+s, m-s) (reference :280-289)."""
+    c = block.shape[-2]
+    if c < 2:
+        return block
+    npair = c // 2
+    pairs = block[..., : 2 * npair, :].reshape(block.shape[:-2] + (npair, 2, block.shape[-1]))
+    a = pairs[..., 0, :] + pairs[..., 1, :]
+    b = pairs[..., 0, :] - pairs[..., 1, :]
+    out = jnp.stack([a, b], axis=-2).reshape(block.shape[:-2] + (2 * npair, block.shape[-1]))
+    if c > 2 * npair:
+        out = jnp.concatenate([out, block[..., 2 * npair :, :]], axis=-2)
+    return out
+
+
+def bytes_to_nybbles(by: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [W] -> int32 nybbles [2W], low nibble first."""
+    lo = (by & 0xF).astype(jnp.int32)
+    hi = (by >> 4).astype(jnp.int32)
+    return jnp.stack([lo, hi], axis=-1).reshape(by.shape[:-1] + (2 * by.shape[-1],))
+
+
+def decode_block(window: jnp.ndarray, carry: DecoderCarry, cfg: CodecConfig):
+    """Decode one block from a byte window.
+
+    window: [W] uint8 starting at the block boundary (W static, at least
+    the container's max block size). Returns
+    (pcm [C, N], new_carry, bits_consumed, corrupt).
+    """
+    n, c = cfg.block_size, cfg.n_chan
+    p_tot = n * c
+    nyb = bytes_to_nybbles(window)
+    wc = nyb[0]
+    has2 = (wc & 0x8) != 0
+    wc = jnp.where(has2, wc | (nyb[1] << 4), wc | (1 << 4)).astype(jnp.int32)
+    hdr = jnp.where(has2, 2, 1).astype(jnp.int32)
+
+    t_len = nyb.shape[0] - 2
+    tokens = lax.dynamic_slice(nyb, (hdr,), (t_len,))
+    records, consumed, corrupt = decode_block_tokens(tokens, wc, cfg)
+    flat, rng = expand_records(records, carry.rng, p_tot)
+    flat = jnp.where(corrupt, 0.0, flat)
+    coefs = flat.reshape(c, n)
+
+    pcm, lap, last_ss = block_imdct(coefs, wc, carry.lap, carry.prev_last_ss, cfg)
+    pcm = inverse_ms(pcm)
+
+    new_carry = DecoderCarry(lap=lap, prev_last_ss=last_ss, rng=rng)
+    bits = 4 * (hdr + consumed)
+    return pcm, new_carry, bits, corrupt
+
+
+def decode_stream(stream: jnp.ndarray, n_blocks: int, window_bytes: int, cfg: CodecConfig):
+    """Decode ``n_blocks`` blocks from a padded byte stream.
+
+    stream: [S] uint8 (padded so that every window slice is in bounds).
+    Returns (pcm [n_blocks, C, N], bits [n_blocks], corrupt [n_blocks]).
+    """
+
+    def step(state, _):
+        offset, carry = state
+        window = lax.dynamic_slice(stream, (offset,), (window_bytes,))
+        pcm, carry, bits, corrupt = decode_block(window, carry, cfg)
+        offset = offset + (bits + 7) // 8
+        return (offset, carry), (pcm, bits, corrupt)
+
+    init = (jnp.int32(0), DecoderCarry.init(cfg))
+    (_, _), (pcm, bits, corrupt) = lax.scan(step, init, None, length=n_blocks)
+    return pcm, bits, corrupt

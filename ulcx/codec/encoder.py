@@ -1,0 +1,141 @@
+"""Top-level encoder: analysis + rate control + serialization.
+
+Mirrors reference ulcEncoder.c: CBR performs the same binary search
+over the coded-coefficient count against the bit budget (reference
+:93-116) — but each probe costs only the cheap size-only scan pair, and
+the stream is materialized once at the final count. ABR scales the
+block's target rate by complexity/avg-complexity (:128-135); VBR maps
+Quality -> target complexity -> coefficient count analytically
+(:140-158).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from ulcx.analysis.block import AnalyzedBlock, EncoderCarry, analyze_block
+from ulcx.bitstream.encode import (
+    encode_pass_materialize,
+    encode_pass_size,
+    prepare_block,
+)
+from ulcx.utils.config import CodecConfig
+
+_E_TO_E = np.float32(float.fromhex("0x1.E4EFB7p3"))  # e^e
+
+
+class EncodedBlock(NamedTuple):
+    data: jnp.ndarray        # [max_bytes] uint8
+    size_bits: jnp.ndarray   # scalar i32 (byte aligned)
+    complexity: jnp.ndarray  # scalar f32
+    window_ctrl: jnp.ndarray # scalar i32
+
+
+def max_block_bytes(cfg: CodecConfig) -> int:
+    """Static serialization buffer bound (nybbles can't exceed ~2.2/coef)."""
+    return 2 * cfg.n_chan * cfg.block_size
+
+
+def cbr_bit_budget(cfg: CodecConfig, rate_kbps) -> jnp.ndarray:
+    """Truncated bit budget per block (reference ulcEncoder.c:96)."""
+    return (
+        (jnp.float32(cfg.block_size) * jnp.float32(rate_kbps))
+        * jnp.float32(1000.0 / cfg.rate_hz)
+    ).astype(jnp.int32)
+
+
+def _cbr_search(bd, n_nz, budget, cfg: CodecConfig):
+    """Vectorizable replica of the reference's bisection (ulcEncoder.c:98-115)."""
+    p_tot = cfg.n_chan * cfg.block_size
+    n_iter = int(math.ceil(math.log2(p_tot))) + 1
+
+    def body(state, _):
+        lo, hi, done = state
+        n = (lo + hi) // 2
+        size = encode_pass_size(bd, n)
+        run = ~done
+        eq = size == budget
+        lo2 = jnp.where(eq, n, jnp.where(size < budget, n, lo))
+        hi2 = jnp.where(eq, hi, jnp.where(size > budget, n - 1, hi))
+        done2 = done | eq | (lo2 >= hi2 - 1)
+        return (
+            jnp.where(run, lo2, lo),
+            jnp.where(run, hi2, hi),
+            jnp.where(run, done2, done),
+        ), None
+
+    lo0 = jnp.int32(0)
+    hi0 = n_nz
+    done0 = ~(lo0 < hi0)
+    (lo, _, _), _ = lax.scan(body, (lo0, hi0, done0), None, length=n_iter)
+    return lo
+
+
+def encode_analyzed_cbr(blk: AnalyzedBlock, rate_kbps, cfg: CodecConfig) -> EncodedBlock:
+    bd = prepare_block(blk, cfg)
+    budget = cbr_bit_budget(cfg, rate_kbps)
+    n_out = _cbr_search(bd, blk.n_nz, budget, cfg)
+    size, data = encode_pass_materialize(bd, n_out, max_block_bytes(cfg))
+    return EncodedBlock(data, size, blk.complexity, blk.window_ctrl)
+
+
+def encode_analyzed_abr(blk, rate_kbps, avg_complexity, cfg) -> EncodedBlock:
+    target = jnp.float32(rate_kbps) * blk.complexity / jnp.float32(avg_complexity)
+    bd = prepare_block(blk, cfg)
+    budget = cbr_bit_budget(cfg, target)
+    n_out = _cbr_search(bd, blk.n_nz, budget, cfg)
+    size, data = encode_pass_materialize(bd, n_out, max_block_bytes(cfg))
+    return EncodedBlock(data, size, blk.complexity, blk.window_ctrl)
+
+
+def encode_analyzed_vbr(blk: AnalyzedBlock, quality, cfg: CodecConfig) -> EncodedBlock:
+    bd = prepare_block(blk, cfg)
+    target_cx = _E_TO_E * jnp.log(jnp.float32(100.0) / jnp.float32(quality))
+    p_tot = cfg.n_chan * cfg.block_size
+    f_target = jnp.float32(p_tot) * blk.complexity / jnp.where(target_cx > 0, target_cx, 1.0)
+    n_out = jnp.where(
+        (target_cx > 0) & (f_target < blk.n_nz.astype(jnp.float32)),
+        f_target.astype(jnp.int32),
+        blk.n_nz,
+    )
+    size, data = encode_pass_materialize(bd, n_out, max_block_bytes(cfg))
+    return EncodedBlock(data, size, blk.complexity, blk.window_ctrl)
+
+
+# ---------------------------------------------------------------------------
+# Block-step and stream-level drivers.
+
+
+def encode_block(carry: EncoderCarry, new_block, cfg: CodecConfig, mode: str, **kw):
+    """One full encode step: analysis + rate control + serialization.
+
+    mode: 'cbr' (rate_kbps=), 'abr' (rate_kbps=, avg_complexity=),
+    'vbr' (quality=).
+    """
+    carry, blk = analyze_block(carry, new_block, cfg)
+    if mode == "cbr":
+        enc = encode_analyzed_cbr(blk, kw["rate_kbps"], cfg)
+    elif mode == "abr":
+        enc = encode_analyzed_abr(blk, kw["rate_kbps"], kw["avg_complexity"], cfg)
+    elif mode == "vbr":
+        enc = encode_analyzed_vbr(blk, kw["quality"], cfg)
+    else:
+        raise ValueError(mode)
+    return carry, enc
+
+
+def encode_stream(blocks: jnp.ndarray, cfg: CodecConfig, mode: str, **kw):
+    """Encode [T, C, N] deinterleaved PCM blocks. Returns EncodedBlock
+    arrays stacked over T (scan over blocks carrying the codec state)."""
+
+    def step(carry, blk):
+        carry, enc = encode_block(carry, blk, cfg, mode, **kw)
+        return carry, enc
+
+    _, out = lax.scan(step, EncoderCarry.init(cfg), blocks)
+    return out
