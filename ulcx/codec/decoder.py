@@ -86,11 +86,19 @@ def decode_block(window: jnp.ndarray, carry: DecoderCarry, cfg: CodecConfig):
     return pcm, new_carry, bits, corrupt
 
 
-def decode_stream(stream: jnp.ndarray, n_blocks: int, window_bytes: int, cfg: CodecConfig):
+def decode_stream(
+    stream: jnp.ndarray,
+    n_blocks: int,
+    window_bytes: int,
+    cfg: CodecConfig,
+    offset=None,
+    carry=None,
+):
     """Decode ``n_blocks`` blocks from a padded byte stream.
 
     stream: [S] uint8 (padded so that every window slice is in bounds).
-    Returns (pcm [n_blocks, C, N], bits [n_blocks], corrupt [n_blocks]).
+    Returns (pcm [n_blocks, C, N], bits [n_blocks], corrupt [n_blocks],
+    (offset, carry)) — feed (offset, carry) back in to continue.
     """
 
     def step(state, _):
@@ -100,6 +108,9 @@ def decode_stream(stream: jnp.ndarray, n_blocks: int, window_bytes: int, cfg: Co
         offset = offset + (bits + 7) // 8
         return (offset, carry), (pcm, bits, corrupt)
 
-    init = (jnp.int32(0), DecoderCarry.init(cfg))
-    (_, _), (pcm, bits, corrupt) = lax.scan(step, init, None, length=n_blocks)
-    return pcm, bits, corrupt
+    if offset is None:
+        offset = jnp.int32(0)
+    if carry is None:
+        carry = DecoderCarry.init(cfg)
+    state, (pcm, bits, corrupt) = lax.scan(step, (offset, carry), None, length=n_blocks)
+    return pcm, bits, corrupt, state

@@ -129,13 +129,16 @@ def encode_block(carry: EncoderCarry, new_block, cfg: CodecConfig, mode: str, **
     return carry, enc
 
 
-def encode_stream(blocks: jnp.ndarray, cfg: CodecConfig, mode: str, **kw):
-    """Encode [T, C, N] deinterleaved PCM blocks. Returns EncodedBlock
-    arrays stacked over T (scan over blocks carrying the codec state)."""
+def encode_stream(blocks: jnp.ndarray, cfg: CodecConfig, mode: str, carry=None, **kw):
+    """Encode [T, C, N] deinterleaved PCM blocks. Returns
+    (EncodedBlock arrays stacked over T, final carry); pass the carry
+    back in to continue a stream chunk by chunk."""
 
     def step(carry, blk):
         carry, enc = encode_block(carry, blk, cfg, mode, **kw)
         return carry, enc
 
-    _, out = lax.scan(step, EncoderCarry.init(cfg), blocks)
-    return out
+    if carry is None:
+        carry = EncoderCarry.init(cfg)
+    carry, out = lax.scan(step, carry, blocks)
+    return out, carry

@@ -1,0 +1,117 @@
+"""ulcdecodetool — CLI decoder, flag-compatible with the reference tool.
+
+Usage (reference tools/ulcDecodeTool.c:31-65):
+    ulcdecodetool Input.ulc Output.wav [-format:PCM8|PCM16|PCM24|FLOAT32]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from ulcx.container import UlcHeader
+from ulcx.io.wavio import WAVE_FORMAT_IEEE_FLOAT, WAVE_FORMAT_PCM, WavWriter
+from ulcx.utils.config import CodecConfig
+
+_FORMATS = {
+    "PCM8": (8, WAVE_FORMAT_PCM),
+    "PCM16": (16, WAVE_FORMAT_PCM),
+    "PCM24": (24, WAVE_FORMAT_PCM),
+    "FLOAT32": (32, WAVE_FORMAT_IEEE_FLOAT),
+}
+
+
+def main(argv=None) -> int:
+    argv = sys.argv if argv is None else argv
+    if len(argv) < 3:
+        print(
+            "ulcDecodeTool - Ultra-Low Complexity Codec Decoding Tool (ulcx)\n"
+            "Usage: ulcdecodetool Input.ulc Output.wav [Opt]\n"
+            "Options:\n"
+            " -format:PCM16 - Set output format (PCM8, PCM16, PCM24, FLOAT32).\n"
+        )
+        return 1
+
+    fmt = "PCM16"
+    chunk = 64
+    for a in argv[3:]:
+        if a.startswith("-format:"):
+            cand = a[len("-format:") :].upper()
+            if cand not in _FORMATS:
+                print(f"ERROR: Ignoring invalid output format ({cand}).")
+                return -1
+            fmt = cand
+        elif a.startswith("-chunk:"):
+            chunk = max(1, int(a[len("-chunk:") :]))
+        else:
+            print(f"WARNING: Ignoring unknown argument ({a}).")
+    bits, tag = _FORMATS[fmt]
+
+    import jax
+    import jax.numpy as jnp
+    from ulcx.codec.decoder import decode_stream
+
+    try:
+        with open(argv[1], "rb") as f:
+            raw = f.read()
+        hdr = UlcHeader.unpack(raw)
+    except (OSError, ValueError) as e:
+        print(f"ERROR: Input file is not a valid ULC container ({e}).")
+        return -1
+
+    cfg = CodecConfig(
+        rate_hz=hdr.rate_hz, n_chan=hdr.n_chan, block_size=hdr.block_size
+    )
+    window = max(hdr.max_block_size, 16)
+    window = -(-window // 64) * 64  # round up for tidy slices
+    stream = np.frombuffer(raw[hdr.stream_offs :], np.uint8)
+    stream = np.concatenate([stream, np.zeros(window + 64, np.uint8)])
+    stream_j = jnp.asarray(stream)
+
+    dec_fn = jax.jit(
+        lambda s, off, carry: decode_stream(
+            s, chunk, window, cfg, offset=off, carry=carry
+        )
+    )
+
+    from ulcx.codec.decoder import DecoderCarry
+
+    wav = WavWriter(argv[2], hdr.rate_hz, hdr.n_chan, bits, tag)
+    n, c = hdr.block_size, hdr.n_chan
+    t0 = time.time()
+    last_print = t0 - 0.5
+    done = 0
+    offset, carry = jnp.int32(0), DecoderCarry.init(cfg)
+    failed = False
+    while done < hdr.n_blocks and not failed:
+        pcm, bits_arr, corrupt, (offset, carry) = dec_fn(stream_j, offset, carry)
+        take = min(chunk, hdr.n_blocks - done)
+        corrupt_np = np.asarray(corrupt)[:take]
+        if corrupt_np.any():
+            print("ERROR: Corrupted stream.")
+            failed = True
+            take = int(np.argmax(corrupt_np))
+        pcm_np = np.asarray(pcm)[:take]  # [take, C, N]
+        wav.write_frames(pcm_np.transpose(0, 2, 1).reshape(-1))
+        done += take
+        now = time.time()
+        if now - last_print >= 0.5:
+            rt = done * n / hdr.rate_hz / max(now - t0, 1e-9)
+            print(
+                f"\rBlock {done}/{hdr.n_blocks} "
+                f"({done * 100.0 / hdr.n_blocks:.2f}% | {rt:.2f} X rt)",
+                end="",
+                flush=True,
+            )
+            last_print = now
+
+    wav.close()
+    if not failed:
+        print("\nOk")
+    return -1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
