@@ -1,0 +1,100 @@
+"""Data-parallel batch execution over a device mesh.
+
+The codec's only meaningful distribution axis is the *stream batch*
+(the reference is a strictly sequential per-block streaming codec; see
+SURVEY.md §2): streams are independent, so we shard them over the mesh
+and let every chip run the identical block pipeline on its shard. No
+codec state ever crosses ICI — the only collectives are ``psum``s of
+bitrate/complexity metrics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ulcx.analysis.block import EncoderCarry
+from ulcx.codec.decoder import DecoderCarry, decode_stream
+from ulcx.codec.encoder import encode_stream
+from ulcx.utils.config import CodecConfig
+
+
+def data_mesh(devices=None, name: str = "data") -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (name,))
+
+
+def batch_encode(blocks, cfg: CodecConfig, mode: str, mesh: Mesh | None = None, **kw):
+    """Encode a batch of streams: blocks [B, T, C, N] -> EncodedBlock
+    arrays with leading [B, T], plus psum'd aggregate stats.
+
+    Without a mesh this is a plain vmap; with a mesh the batch axis is
+    sharded over it (pure DP, collective-free except metric reduction).
+    """
+
+    def per_stream(stream_blocks):
+        out, _ = encode_stream(stream_blocks, cfg, mode, **kw)
+        return out
+
+    vmapped = jax.vmap(per_stream)
+
+    if mesh is None:
+        out = vmapped(blocks)
+        total_bits = jnp.sum(out.size_bits)
+        return out, {"total_bits": total_bits, "avg_complexity": jnp.mean(out.complexity)}
+
+    from jax import shard_map
+
+    axis = mesh.axis_names[0]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=(P(axis), P()),
+        check_rep=False,
+    )
+    def sharded(b):
+        out = vmapped(b)
+        stats = jnp.stack(
+            [
+                jnp.sum(out.size_bits).astype(jnp.float32),
+                jnp.sum(out.complexity),
+            ]
+        )
+        stats = jax.lax.psum(stats, axis)
+        return out, stats
+
+    out, stats = sharded(blocks)
+    nblk = blocks.shape[0] * blocks.shape[1]
+    return out, {"total_bits": stats[0], "avg_complexity": stats[1] / nblk}
+
+
+def batch_decode(
+    streams, n_blocks: int, window_bytes: int, cfg: CodecConfig, mesh: Mesh | None = None
+):
+    """Decode a batch of padded byte streams [B, S] -> pcm [B, T, C, N]."""
+
+    def per_stream(s):
+        pcm, bits, corrupt, _ = decode_stream(s, n_blocks, window_bytes, cfg)
+        return pcm, bits, corrupt
+
+    vmapped = jax.vmap(per_stream)
+    if mesh is None:
+        return vmapped(streams)
+
+    from jax import shard_map
+
+    axis = mesh.axis_names[0]
+    return shard_map(
+        vmapped,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )(streams)
