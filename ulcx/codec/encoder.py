@@ -15,6 +15,7 @@ import math
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -49,6 +50,37 @@ def cbr_bit_budget(cfg: CodecConfig, rate_kbps) -> jnp.ndarray:
     ).astype(jnp.int32)
 
 
+def _cbr_search_ladder(bd, n_nz, budget, cfg: CodecConfig, k: int = 16):
+    """Parallel on-device rate search (TPU-native form of the bisection).
+
+    Each round evaluates k candidate coefficient counts *in one scan
+    pair* (the candidate axis folds into the vector lanes), narrowing
+    the bracket k-fold; ceil(log_k(P)) rounds make the result exact:
+    the largest n with Size(n) <= budget. Identical to the reference's
+    bisection whenever Size is monotone in n (it is, up to rare
+    noise-fill flips), ~log2(P)/log_k(P) x fewer sequential steps.
+    """
+    p_tot = cfg.n_chan * cfg.block_size
+    rounds = max(1, int(math.ceil(math.log(p_tot, k))))
+    size_k = jax.vmap(lambda n: encode_pass_size(bd, n))
+
+    lo = jnp.int32(0)
+    hi = n_nz.astype(jnp.int32)
+    for _ in range(rounds):
+        step = jnp.maximum((hi - lo + k - 1) // k, 1)
+        cands = lo + step * jnp.arange(1, k + 1, dtype=jnp.int32)
+        cands_c = jnp.minimum(cands, jnp.maximum(hi, 0))
+        sizes = size_k(cands_c)
+        feas = (sizes <= budget) & (cands <= hi)
+        # largest feasible candidate -> new lo; smallest infeasible -> bound
+        any_f = jnp.any(feas)
+        best = jnp.max(jnp.where(feas, cands_c, lo))
+        first_bad = jnp.min(jnp.where(feas | (cands > hi), jnp.int32(2**30), cands))
+        lo = jnp.where(any_f, best, lo)
+        hi = jnp.minimum(hi, first_bad - 1)
+    return lo
+
+
 def _cbr_search(bd, n_nz, budget, cfg: CodecConfig):
     """Vectorizable replica of the reference's bisection (ulcEncoder.c:98-115)."""
     p_tot = cfg.n_chan * cfg.block_size
@@ -76,10 +108,16 @@ def _cbr_search(bd, n_nz, budget, cfg: CodecConfig):
     return lo
 
 
+def _rate_search(bd, n_nz, budget, cfg: CodecConfig):
+    if cfg.rate_search == "bisect":
+        return _cbr_search(bd, n_nz, budget, cfg)
+    return _cbr_search_ladder(bd, n_nz, budget, cfg)
+
+
 def encode_analyzed_cbr(blk: AnalyzedBlock, rate_kbps, cfg: CodecConfig) -> EncodedBlock:
     bd = prepare_block(blk, cfg)
     budget = cbr_bit_budget(cfg, rate_kbps)
-    n_out = _cbr_search(bd, blk.n_nz, budget, cfg)
+    n_out = _rate_search(bd, blk.n_nz, budget, cfg)
     size, data = encode_pass_materialize(bd, n_out, max_block_bytes(cfg))
     return EncodedBlock(data, size, blk.complexity, blk.window_ctrl)
 
@@ -88,7 +126,7 @@ def encode_analyzed_abr(blk, rate_kbps, avg_complexity, cfg) -> EncodedBlock:
     target = jnp.float32(rate_kbps) * blk.complexity / jnp.float32(avg_complexity)
     bd = prepare_block(blk, cfg)
     budget = cbr_bit_budget(cfg, target)
-    n_out = _cbr_search(bd, blk.n_nz, budget, cfg)
+    n_out = _rate_search(bd, blk.n_nz, budget, cfg)
     size, data = encode_pass_materialize(bd, n_out, max_block_bytes(cfg))
     return EncodedBlock(data, size, blk.complexity, blk.window_ctrl)
 

@@ -47,6 +47,10 @@ class CodecConfig:
     # per subblock size.
     transform_backend: str = "auto"
     matmul_max_n: int = 4096
+    # CBR/ABR rate search: "ladder" evaluates 16 candidates per scan
+    # round (TPU-native, exact under monotone Size(n)); "bisect"
+    # replicates the reference's sequential bisection step-for-step.
+    rate_search: str = "ladder"
 
     def __post_init__(self):
         if not (MIN_CHANS <= self.n_chan <= MAX_CHANS):
@@ -58,6 +62,8 @@ class CodecConfig:
             raise ValueError(f"rate_hz must be >= 1, got {self.rate_hz}")
         if self.transform_backend not in ("auto", "matmul", "fft"):
             raise ValueError(f"bad transform_backend {self.transform_backend!r}")
+        if self.rate_search not in ("ladder", "bisect"):
+            raise ValueError(f"bad rate_search {self.rate_search!r}")
 
     @cached_property
     def max_decimation(self) -> int:
