@@ -132,12 +132,25 @@ def prepare_block(blk: AnalyzedBlock, cfg: CodecConfig) -> BlockData:
 
 
 def _zone_scan(bd: BlockData, kept):
+    # xs packed into ONE array: each scan step costs one contiguous
+    # dynamic-slice DMA instead of three (the scans are DMA-latency
+    # bound on TPU, not compute bound).
     p_tot = bd.absc.shape[-1]
     is_seg_start = jnp.arange(p_tot) == bd.seg_start
+    packed = jnp.stack(
+        [
+            bd.absc,
+            kept.astype(jnp.float32),
+            is_seg_start.astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # [P, 3] (or [P, B, 3] under vmap-in-last... batch dims lead)
 
-    def body(carry, xs):
+    def body(carry, row):
         qmin, qmax = carry
-        a, k, st = xs
+        a = row[..., 0]
+        k = row[..., 1] != 0
+        st = row[..., 2] != 0
         qmin = jnp.where(st, jnp.float32(1000.0), qmin)
         qmax = jnp.where(st, jnp.float32(-1000.0), qmax)
         newmin = jnp.minimum(qmin, a)
@@ -150,7 +163,7 @@ def _zone_scan(bd: BlockData, kept):
     (_, _), (split, runq) = lax.scan(
         body,
         (jnp.float32(1000.0), jnp.float32(-1000.0)),
-        (bd.absc, kept, is_seg_start),
+        packed,
     )
     return split, runq
 
@@ -272,10 +285,78 @@ def _precompute_emit(bd: BlockData, n_out_coef) -> EmitPre:
 # Pass 3: emission scan.
 
 
+class _EmitRow(NamedTuple):
+    """One packed emission-scan step (unpacked view of the xs rows)."""
+
+    is_seg_start: jnp.ndarray
+    seg_end: jnp.ndarray
+    coded: jnp.ndarray
+    is_tail: jnp.ndarray
+    q_ev: jnp.ndarray
+    z_r: jnp.ndarray
+    resc_ok: jnp.ndarray
+    qn1: jnp.ndarray
+    qn2: jnp.ndarray
+    nq: jnp.ndarray
+    amp_lin: jnp.ndarray
+    hf_ok: jnp.ndarray
+    dec_q: jnp.ndarray
+    pos: jnp.ndarray
+
+
+def _pack_emit(pre: EmitPre):
+    """EmitPre (15 arrays) -> (ints [P, 9], floats [P, 1]): one DMA per
+    scan step instead of fifteen (the scans are latency bound)."""
+    flags = (
+        pre.is_seg_start.astype(jnp.int32)
+        | (pre.coded.astype(jnp.int32) << 1)
+        | (pre.is_tail.astype(jnp.int32) << 2)
+        | (pre.resc_ok.astype(jnp.int32) << 3)
+        | (pre.hf_ok.astype(jnp.int32) << 4)
+    )
+    ints = jnp.stack(
+        [
+            pre.seg_end,
+            pre.q_ev,
+            jnp.minimum(pre.z_r, jnp.int32(1 << 20)),
+            pre.qn1,
+            pre.qn2,
+            pre.nq,
+            pre.dec_q,
+            pre.pos,
+            flags,
+        ],
+        axis=-1,
+    )
+    flts = pre.amp_lin[..., None]
+    return ints, flts
+
+
+def _unpack_row(ri, rf) -> _EmitRow:
+    flags = ri[..., 8]
+    return _EmitRow(
+        is_seg_start=(flags & 1) != 0,
+        seg_end=ri[..., 0],
+        coded=(flags & 2) != 0,
+        is_tail=(flags & 4) != 0,
+        q_ev=ri[..., 1],
+        z_r=ri[..., 2],
+        resc_ok=(flags & 8) != 0,
+        qn1=ri[..., 3],
+        qn2=ri[..., 4],
+        nq=ri[..., 5],
+        amp_lin=rf[..., 0],
+        hf_ok=(flags & 16) != 0,
+        dec_q=ri[..., 6],
+        pos=ri[..., 7],
+    )
+
+
 def _emit_scan(pre: EmitPre, materialize: bool):
     """Returns (total token nybbles, counts [P], nybbles [P, 8])."""
 
-    def body(carry, xs):
+    def body(carry, packed_xs):
+        xs = _unpack_row(*packed_xs)
         covered, prev_q, bits = carry
         prev_q = jnp.where(xs.is_seg_start, jnp.int32(-1), prev_q)
         p = xs.pos
@@ -428,10 +509,11 @@ def _emit_scan(pre: EmitPre, materialize: bool):
         return (new_covered, new_prev_q, new_bits), (count, nybbles)
 
     init = (jnp.int32(0), jnp.int32(-1), jnp.int32(0))
+    packed = _pack_emit(pre)
     if materialize:
-        (_, _, total), (counts, nybs) = lax.scan(body, init, pre)
+        (_, _, total), (counts, nybs) = lax.scan(body, init, packed)
         return total, counts, nybs
-    (_, _, total), counts = lax.scan(body, init, pre)
+    (_, _, total), counts = lax.scan(body, init, packed)
     return total, counts, None
 
 

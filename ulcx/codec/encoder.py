@@ -167,6 +167,50 @@ def encode_block(carry: EncoderCarry, new_block, cfg: CodecConfig, mode: str, **
     return carry, enc
 
 
+def _encode_analyzed(blk: AnalyzedBlock, cfg: CodecConfig, mode: str, **kw) -> EncodedBlock:
+    if mode == "cbr":
+        return encode_analyzed_cbr(blk, kw["rate_kbps"], cfg)
+    if mode == "abr":
+        return encode_analyzed_abr(blk, kw["rate_kbps"], kw["avg_complexity"], cfg)
+    if mode == "vbr":
+        return encode_analyzed_vbr(blk, kw["quality"], cfg)
+    raise ValueError(mode)
+
+
+def init_carry_batched(cfg: CodecConfig, batch: int):
+    base = EncoderCarry.init(cfg)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), base
+    )
+
+
+def encode_block_batched(carry, new_blocks, cfg: CodecConfig, mode: str, **kw):
+    """Batched full encode step: carry leading [B], new_blocks [B, C, N].
+
+    Analysis runs through the batch-native (branch-free) pipeline; the
+    bitstream passes vmap cleanly (their scans carry [B] lanes).
+    """
+    from ulcx.analysis.batched import analyze_block_batched
+
+    carry, blk = analyze_block_batched(carry, new_blocks, cfg)
+    enc = jax.vmap(lambda ab: _encode_analyzed(ab, cfg, mode, **kw))(blk)
+    return carry, enc
+
+
+def encode_stream_batched(blocks, cfg: CodecConfig, mode: str, carry=None, **kw):
+    """Encode [B, T, C, N] batched streams; scan over T. Returns
+    (EncodedBlock with leading [T, B]... transposed to [B, T], carry)."""
+
+    def step(c, blk_t):
+        return encode_block_batched(c, blk_t, cfg, mode, **kw)
+
+    if carry is None:
+        carry = init_carry_batched(cfg, blocks.shape[0])
+    carry, out = lax.scan(step, carry, blocks.transpose(1, 0, 2, 3))
+    out = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), out)
+    return out, carry
+
+
 def encode_stream(blocks: jnp.ndarray, cfg: CodecConfig, mode: str, carry=None, **kw):
     """Encode [T, C, N] deinterleaved PCM blocks. Returns
     (EncodedBlock arrays stacked over T, final carry); pass the carry

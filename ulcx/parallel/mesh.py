@@ -37,11 +37,11 @@ def batch_encode(blocks, cfg: CodecConfig, mode: str, mesh: Mesh | None = None, 
     sharded over it (pure DP, collective-free except metric reduction).
     """
 
-    def per_stream(stream_blocks):
-        out, _ = encode_stream(stream_blocks, cfg, mode, **kw)
-        return out
+    from ulcx.codec.encoder import encode_stream_batched
 
-    vmapped = jax.vmap(per_stream)
+    def vmapped(bb):
+        out, _ = encode_stream_batched(bb, cfg, mode, **kw)
+        return out
 
     if mesh is None:
         out = vmapped(blocks)
@@ -57,7 +57,7 @@ def batch_encode(blocks, cfg: CodecConfig, mode: str, mesh: Mesh | None = None, 
         mesh=mesh,
         in_specs=(P(axis),),
         out_specs=(P(axis), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def sharded(b):
         out = vmapped(b)
@@ -96,5 +96,5 @@ def batch_decode(
         mesh=mesh,
         in_specs=(P(axis),),
         out_specs=(P(axis), P(axis), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )(streams)
