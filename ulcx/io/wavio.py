@@ -49,6 +49,11 @@ def _float_to_pcm24(x: np.ndarray) -> np.ndarray:
 
 def raw_to_float(raw: bytes | np.ndarray, bits: int, fmt_tag: int) -> np.ndarray:
     raw = np.frombuffer(raw, np.uint8) if isinstance(raw, (bytes, bytearray)) else raw
+    from ulcx.io import native
+
+    got = native.raw_to_float(raw, bits, fmt_tag) if native.available() else None
+    if got is not None:
+        return got
     if fmt_tag == WAVE_FORMAT_IEEE_FLOAT and bits == 32:
         return raw.view(np.float32).copy()
     if bits == 8:
@@ -66,6 +71,11 @@ def raw_to_float(raw: bytes | np.ndarray, bits: int, fmt_tag: int) -> np.ndarray
 
 def float_to_raw(x: np.ndarray, bits: int, fmt_tag: int) -> np.ndarray:
     x = np.asarray(x, np.float32)
+    from ulcx.io import native
+
+    got = native.float_to_raw(x, bits, fmt_tag) if native.available() else None
+    if got is not None:
+        return got
     if fmt_tag == WAVE_FORMAT_IEEE_FLOAT and bits == 32:
         return x.view(np.uint8)
     if bits == 8:
