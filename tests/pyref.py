@@ -78,8 +78,12 @@ def get_hf_ext_params(noise, band, n, q):
     return nq, min(nd, 255)
 
 
-def encode_pass(coef, noise, rank, n_out, wc, block_size, n_chan):
-    """Returns (size_bits, bytes). Mirrors ULCi_EncodePass + deviation."""
+def encode_pass(coef, noise, rank, n_out, wc, block_size, n_chan, noise_window="gap"):
+    """Returns (size_bits, bytes). Mirrors ULCi_EncodePass + deviations.
+
+    noise_window: "gap" = C-exact noise analysis window; "segment" =
+    ulcx's candidate-independent window (CodecConfig.noise_run_window).
+    """
     ny = [wc & 0xF]
     if wc & 0x8:
         ny.append((wc >> 4) & 0xF)
@@ -91,7 +95,8 @@ def encode_pass(coef, noise, rank, n_out, wc, block_size, n_chan):
         base = c * block_size
         for off, ss in zip(offs, szs):
             _encode_segment(
-                ny, coef, noise, rank, n_out, base + off, base + off + ss
+                ny, coef, noise, rank, n_out, base + off, base + off + ss,
+                noise_window,
             )
 
     size = 4 * len(ny)
@@ -113,7 +118,7 @@ def _write_quant(ny, qi, lead):
         ny.append(s - 0xE)
 
 
-def _write_zone(ny, cur, end, qi, coef, noise, rank, n_out, next_coded):
+def _write_zone(ny, cur, end, qi, coef, noise, rank, n_out, next_coded, seg_end, noise_window):
     quant = np.float32(1 << qi)
     while True:
         while cur < end and rank[cur] >= n_out:
@@ -142,7 +147,8 @@ def _write_zone(ny, cur, end, qi, coef, noise, rank, n_out, next_coded):
             if z_r >= 16:
                 v = min(z_r - 16, 0x1FF)
                 n = v + 16
-                nq = get_noise_q(noise, next_coded, n, quant)
+                win = n if noise_window == "gap" else min(seg_end - next_coded, 527)
+                nq = get_noise_q(noise, next_coded, win, quant)
             if nq:
                 ny += [0x8, (v >> 5) & 0xF, (v >> 1) & 0xF, ((v & 1) | ((nq - 1) << 1)) & 0xF]
             elif z_r < 33:
@@ -170,7 +176,7 @@ def _zone_has_coded(coef, rank, n_out, beg, end, qi):
     return False
 
 
-def _encode_segment(ny, coef, noise, rank, n_out, start, end):
+def _encode_segment(ny, coef, noise, rank, n_out, start, end, noise_window="gap"):
     idx = start
     next_coded = start
     prev_quant = -1
@@ -196,7 +202,8 @@ def _encode_segment(ny, coef, noise, rank, n_out, start, end):
                     _write_quant(ny, qi, prev_quant != -1)
                     prev_quant = qi
                 next_coded = _write_zone(
-                    ny, quant_start, idx, qi, coef, noise, rank, n_out, next_coded
+                    ny, quant_start, idx, qi, coef, noise, rank, n_out,
+                    next_coded, end, noise_window,
                 )
             quant_start = idx
             qmin = qmax = cur

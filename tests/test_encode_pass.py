@@ -47,18 +47,23 @@ def synth_block(rng, wc, sparsity=0.5, scale=1.0):
     ), coef, noise, rank
 
 
-SIZE_F = jax.jit(lambda bd, k: encode_pass_size(bd, k))
-MAT_F = jax.jit(lambda bd, k: encode_pass_materialize(bd, k, max_bytes=2 * C * N))
+SIZE_F = jax.jit(lambda bd, k: encode_pass_size(bd, k, "segment"))
+MAT_F = jax.jit(lambda bd, k: encode_pass_materialize(bd, k, 2 * C * N, "segment"))
+SIZE_G = jax.jit(lambda bd, k: encode_pass_size(bd, k, "gap"))
+MAT_G = jax.jit(lambda bd, k: encode_pass_materialize(bd, k, 2 * C * N, "gap"))
 
 
-def _compare(rng, wc, n_outs, sparsity=0.5, scale=1.0):
+def _compare(rng, wc, n_outs, sparsity=0.5, scale=1.0, window="segment"):
     blk, coef, noise, rank = synth_block(rng, wc, sparsity, scale)
     bd = prepare_block(blk, CFG)
     for k in n_outs:
-        want_bits, want_bytes = pyref.encode_pass(coef, noise, rank, k, wc, N, C)
-        got_bits = int(SIZE_F(bd, jnp.int32(k)))
+        want_bits, want_bytes = pyref.encode_pass(
+            coef, noise, rank, k, wc, N, C, noise_window=window
+        )
+        size_f, mat_f = (SIZE_F, MAT_F) if window == "segment" else (SIZE_G, MAT_G)
+        got_bits = int(size_f(bd, jnp.int32(k)))
         assert got_bits == want_bits, (wc, k, got_bits, want_bits)
-        got_bits2, got_by = MAT_F(bd, jnp.int32(k))
+        got_bits2, got_by = mat_f(bd, jnp.int32(k))
         got_by = bytes(np.asarray(got_by)[: len(want_bytes)].tobytes())
         assert int(got_bits2) == want_bits
         # the stream must parse cleanly in the decoder mirror
@@ -88,6 +93,11 @@ def test_full_block_sizes(rng):
     _compare(rng, 0x10, [0, 1, 7, 40, 130, 300, 512])
 
 
+def test_full_block_sizes_gap_window(rng):
+    # the C-exact noise-analysis window path
+    _compare(rng, 0x10, [7, 130, 300], window="gap")
+
+
 def test_decimated_patterns(rng):
     for wc in (0x28, 0x3A, 0x59, 0x8B, 0xFB, 0x6C):
         _compare(rng, wc, [25, 200, 512])
@@ -105,6 +115,8 @@ def test_all_zero_block(rng):
     coef[:] = 0
     blk = blk._replace(mdct=jnp.zeros((C, N), jnp.float32))
     bd = prepare_block(blk, CFG)
-    want_bits, want_bytes = pyref.encode_pass(coef, noise, rank, 100, 0x10, N, C)
+    want_bits, want_bytes = pyref.encode_pass(
+        coef, noise, rank, 100, 0x10, N, C, noise_window="segment"
+    )
     got = int(SIZE_F(bd, jnp.int32(100)))
     assert got == want_bits

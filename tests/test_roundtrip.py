@@ -28,7 +28,7 @@ def make_input(rng):
 def _encode(x, mode, **kw):
     blocks = jnp.asarray(x.reshape(C, T, N).transpose(1, 0, 2))
     f = jax.jit(lambda b: encode_stream(b, CFG, mode, **kw))
-    out = f(blocks)
+    out, _ = f(blocks)
     sizes = np.asarray(out.size_bits)
     datas = np.asarray(out.data)
     stream = b"".join(

@@ -206,7 +206,7 @@ class EmitPre(NamedTuple):
     pos: jnp.ndarray
 
 
-def _precompute_emit(bd: BlockData, n_out_coef) -> EmitPre:
+def _precompute_emit(bd: BlockData, n_out_coef, noise_run_window: str = "gap") -> EmitPre:
     p_tot = bd.absc.shape[-1]
     idx = jnp.arange(p_tot)
     kept = bd.rank < n_out_coef
@@ -229,8 +229,13 @@ def _precompute_emit(bd: BlockData, n_out_coef) -> EmitPre:
     qn2 = _cq_coef(coef_next * ev_scale, 7)
     resc_ok = (jnp.abs(qn1) > 1) & ((z_r < 2) | (jnp.abs(qn2) > 1))
 
-    # noise-fill over [p, p + min(zR,527)) (reference ULCi_GetNoiseQ)
-    n_noise = jnp.minimum(z_r, 527)
+    # noise-fill amplitude analysis (reference ULCi_GetNoiseQ): window
+    # is the gap (C-exact) or the segment remainder (candidate-
+    # independent; see CodecConfig.noise_run_window), both capped at 527
+    if noise_run_window == "segment":
+        n_noise = jnp.minimum(jnp.clip(bd.seg_end - idx, 0, p_tot), 527)
+    else:
+        n_noise = jnp.minimum(z_r, 527)
     a_line = idx >> 1
     n_line = (n_noise + (idx & 1) + 1) >> 1
     b_line = jnp.clip(a_line + n_line, 0, p_tot // 2)
@@ -521,17 +526,17 @@ def _emit_scan(pre: EmitPre, materialize: bool):
 # Public API.
 
 
-def encode_pass_size(bd: BlockData, n_out_coef) -> jnp.ndarray:
+def encode_pass_size(bd: BlockData, n_out_coef, noise_run_window: str = "gap") -> jnp.ndarray:
     """Block size in bits for a candidate n_out_coef (byte aligned)."""
-    pre = _precompute_emit(bd, n_out_coef)
+    pre = _precompute_emit(bd, n_out_coef, noise_run_window)
     total, _, _ = _emit_scan(pre, materialize=False)
     bits = 4 * (total + bd.n_header)
     return (bits + 7) & ~7
 
 
-def encode_pass_materialize(bd: BlockData, n_out_coef, max_bytes: int):
+def encode_pass_materialize(bd: BlockData, n_out_coef, max_bytes: int, noise_run_window: str = "gap"):
     """Returns (size_bits, bytes [max_bytes] uint8)."""
-    pre = _precompute_emit(bd, n_out_coef)
+    pre = _precompute_emit(bd, n_out_coef, noise_run_window)
     total, counts, nybs = _emit_scan(pre, materialize=True)
     p_tot = counts.shape[0]
     max_nyb = 2 * max_bytes

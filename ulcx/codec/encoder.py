@@ -62,7 +62,7 @@ def _cbr_search_ladder(bd, n_nz, budget, cfg: CodecConfig, k: int = 16):
     """
     p_tot = cfg.n_chan * cfg.block_size
     rounds = max(1, int(math.ceil(math.log(p_tot, k))))
-    size_k = jax.vmap(lambda n: encode_pass_size(bd, n))
+    size_k = jax.vmap(lambda n: encode_pass_size(bd, n, cfg.noise_run_window))
 
     lo = jnp.int32(0)
     hi = n_nz.astype(jnp.int32)
@@ -89,7 +89,7 @@ def _cbr_search(bd, n_nz, budget, cfg: CodecConfig):
     def body(state, _):
         lo, hi, done = state
         n = (lo + hi) // 2
-        size = encode_pass_size(bd, n)
+        size = encode_pass_size(bd, n, cfg.noise_run_window)
         run = ~done
         eq = size == budget
         lo2 = jnp.where(eq, n, jnp.where(size < budget, n, lo))
@@ -118,7 +118,7 @@ def encode_analyzed_cbr(blk: AnalyzedBlock, rate_kbps, cfg: CodecConfig) -> Enco
     bd = prepare_block(blk, cfg)
     budget = cbr_bit_budget(cfg, rate_kbps)
     n_out = _rate_search(bd, blk.n_nz, budget, cfg)
-    size, data = encode_pass_materialize(bd, n_out, max_block_bytes(cfg))
+    size, data = encode_pass_materialize(bd, n_out, max_block_bytes(cfg), cfg.noise_run_window)
     return EncodedBlock(data, size, blk.complexity, blk.window_ctrl)
 
 
@@ -127,7 +127,7 @@ def encode_analyzed_abr(blk, rate_kbps, avg_complexity, cfg) -> EncodedBlock:
     bd = prepare_block(blk, cfg)
     budget = cbr_bit_budget(cfg, target)
     n_out = _rate_search(bd, blk.n_nz, budget, cfg)
-    size, data = encode_pass_materialize(bd, n_out, max_block_bytes(cfg))
+    size, data = encode_pass_materialize(bd, n_out, max_block_bytes(cfg), cfg.noise_run_window)
     return EncodedBlock(data, size, blk.complexity, blk.window_ctrl)
 
 
@@ -141,7 +141,7 @@ def encode_analyzed_vbr(blk: AnalyzedBlock, quality, cfg: CodecConfig) -> Encode
         f_target.astype(jnp.int32),
         blk.n_nz,
     )
-    size, data = encode_pass_materialize(bd, n_out, max_block_bytes(cfg))
+    size, data = encode_pass_materialize(bd, n_out, max_block_bytes(cfg), cfg.noise_run_window)
     return EncodedBlock(data, size, blk.complexity, blk.window_ctrl)
 
 

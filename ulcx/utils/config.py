@@ -51,6 +51,15 @@ class CodecConfig:
     # round (TPU-native, exact under monotone Size(n)); "bisect"
     # replicates the reference's sequential bisection step-for-step.
     rate_search: str = "ladder"
+    # Noise-run amplitude analysis window: "segment" averages the noise
+    # spectrum over min(seg_end - pos, 527) lines — candidate-independent,
+    # which makes the whole noise decision precomputable once per block
+    # (the TPU-native choice). "gap" replicates the reference exactly
+    # (window = min(gap_len, 527); reference ulcEncoder_Encode.c:150-153),
+    # at the cost of a per-candidate recompute. Both windows coincide
+    # whenever the gap runs to the end of the [sub]block; levels differ
+    # by at most ~1 quantization step otherwise.
+    noise_run_window: str = "segment"
 
     def __post_init__(self):
         if not (MIN_CHANS <= self.n_chan <= MAX_CHANS):
@@ -64,6 +73,8 @@ class CodecConfig:
             raise ValueError(f"bad transform_backend {self.transform_backend!r}")
         if self.rate_search not in ("ladder", "bisect"):
             raise ValueError(f"bad rate_search {self.rate_search!r}")
+        if self.noise_run_window not in ("segment", "gap"):
+            raise ValueError(f"bad noise_run_window {self.noise_run_window!r}")
 
     @cached_property
     def max_decimation(self) -> int:
