@@ -61,7 +61,7 @@ def test_vbr_roundtrip_vs_pyref_and_snr(rng):
     dec_f = jax.jit(
         lambda s: decode_stream(s, T, max_block_bytes(CFG), CFG)
     )
-    pcm, bits_j, corrupt = dec_f(sj)
+    pcm, bits_j, corrupt, _ = dec_f(sj)
     assert not np.asarray(corrupt).any()
     assert [int(b) for b in np.asarray(bits_j)] == ref_bits
 
