@@ -1,0 +1,77 @@
+"""Pallas encode kernel vs the scan path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from test_encode_pass import synth_block, CFG, N, C
+from ulcx.analysis.block import AnalyzedBlock
+from ulcx.bitstream.encode import (
+    encode_pass_materialize,
+    encode_pass_size,
+    prepare_block,
+)
+from ulcx.bitstream.fast_encode import (
+    materialize_fast,
+    prepare_fast,
+    total_sizes,
+)
+
+B = 8
+
+
+def _batched_blocks(rng, wcs):
+    blks, bds, raw = [], [], []
+    for wc in wcs:
+        blk, coef, noise, rank = synth_block(
+            rng, wc, sparsity=float(rng.uniform(0.2, 0.8))
+        )
+        blks.append(blk)
+        bds.append(prepare_block(blk, CFG))
+        raw.append((coef, noise, rank))
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blks)
+    return batched, bds, raw
+
+
+def test_kernel_sizes_match_scan(rng):
+    wcs = [0x10, 0x10, 0x28, 0x59, 0xFB, 0x10, 0x3A, 0x6C]
+    batched, bds, _ = _batched_blocks(rng, wcs)
+    fb = prepare_fast(batched, CFG)
+    size_scan = jax.jit(lambda bd, k: encode_pass_size(bd, k, "segment"))
+
+    nouts = np.stack(
+        [np.linspace(5, 2 * N - 1, 16).astype(np.int32) for _ in range(B)]
+    )
+    got = np.asarray(
+        jax.jit(lambda f, n: total_sizes(f, n, CFG, interpret=True))(
+            fb, jnp.asarray(nouts)
+        )
+    )
+    for i in range(B):
+        for j in range(16):
+            want = int(size_scan(bds[i], jnp.int32(int(nouts[i, j]))))
+            assert got[i, j] == want, (i, j, wcs[i], int(nouts[i, j]), got[i, j], want)
+
+
+def test_kernel_materialize_matches_scan(rng):
+    wcs = [0x10, 0x28, 0x59, 0xFB, 0x10, 0x3A, 0x6C, 0x10]
+    batched, bds, _ = _batched_blocks(rng, wcs)
+    fb = prepare_fast(batched, CFG)
+    n_out = jnp.asarray(
+        rng.integers(20, 2 * N - 1, B).astype(np.int32)
+    )
+    sizes, bys = jax.jit(
+        lambda f, n: materialize_fast(f, n, CFG, 2 * C * N, interpret=True)
+    )(fb, n_out)
+    sizes, bys = np.asarray(sizes), np.asarray(bys)
+    for i in range(B):
+        want_bits, want_by = jax.jit(
+            lambda bd, k: encode_pass_materialize(bd, k, 2 * C * N, "segment")
+        )(bds[i], n_out[i])
+        want_bits = int(want_bits)
+        assert sizes[i] == want_bits, (i, wcs[i], sizes[i], want_bits)
+        nb = want_bits // 8
+        assert bys[i, :nb].tobytes() == np.asarray(want_by)[:nb].tobytes(), (
+            i,
+            wcs[i],
+        )

@@ -1,0 +1,344 @@
+"""Kernel-backed encode pass: batched rate search + materialization.
+
+Glue around ``ulcx.bitstream.pallas_encode``: packs per-position inputs
+(ranks, segment geometry, noise decisions) into the kernel's aux word,
+prices the per-segment tail tokens outside the kernel (vectorized; they
+need the candidate-independent HF-extension fit), runs the 3-round
+candidate ladder, and assembles final byte streams.
+
+Active when the batch is a multiple of 8 streams and P <= 4096 on a
+TPU backend; otherwise the scan path (ulcx.bitstream.encode) is used.
+Semantics: noise_run_window="segment" (see CodecConfig).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ulcx.analysis.block import AnalyzedBlock
+from ulcx.bitstream import pallas_encode as pe
+from ulcx.bitstream.tables import segment_tables
+from ulcx.ops.patterns import pattern_subblock_offsets, pattern_subblock_sizes
+from ulcx.utils.config import CodecConfig
+
+
+def _cq_unsigned(v):
+    q = jnp.floor(jnp.float32(0.5) + jnp.sqrt(jnp.maximum(v - jnp.float32(0.25), 0.0)))
+    return jnp.where(v >= 0.5, q, 0.0).astype(jnp.int32)
+
+
+@lru_cache(maxsize=32)
+def _slot_tables(block_size: int, n_chan: int):
+    """Per-pattern slot->segment maps on the N/8 grid x channels.
+
+    Returns [16, nslots] arrays: is_seg_end (slot closes a segment),
+    seg_start_pos, seg_end_pos (flat coefficient positions).
+    """
+    n = block_size
+    nslots = 8 * n_chan
+    is_end = np.zeros((16, nslots), np.int32)
+    sstart = np.zeros((16, nslots), np.int32)
+    send = np.zeros((16, nslots), np.int32)
+    slot_sz = n // 8
+    for pat in range(16):
+        pi = pat or 1
+        offs = pattern_subblock_offsets(pi, n)
+        szs = pattern_subblock_sizes(pi, n)
+        for c in range(n_chan):
+            base = c * n
+            for off, ss in zip(offs, szs):
+                end_slot = (base + off + ss) // slot_sz - 1
+                is_end[pat, end_slot] = 1
+                sstart[pat, end_slot] = base + off
+                send[pat, end_slot] = base + off + ss
+    return is_end, sstart, send
+
+
+from typing import NamedTuple
+
+
+class FastBlockData(NamedTuple):
+    """Batched per-block kernel inputs ([B, ...])."""
+
+    coef: jnp.ndarray        # [B, P] f32
+    aux: jnp.ndarray         # [B, P] i32
+    amp_noise: jnp.ndarray   # [B, P] f32 noise amplitude (pre-quantizer)
+    amp_lin: jnp.ndarray     # [B, P] f32 HF-ext amplitude
+    hf_ok: jnp.ndarray       # [B, P] bool
+    dec_q: jnp.ndarray       # [B, P] i32
+    window_ctrl: jnp.ndarray # [B]
+    header: jnp.ndarray      # [B, 2]
+    n_header: jnp.ndarray    # [B]
+
+
+def prepare_fast(blk: AnalyzedBlock, cfg: CodecConfig) -> FastBlockData:
+    """Batched prep: blk fields have leading [B]."""
+    n, c = cfg.block_size, cfg.n_chan
+    p_tot = n * c
+    b = blk.mdct.shape[0]
+    starts_t, ends_t, _ = segment_tables(n, c)
+    pat = blk.window_ctrl >> 4
+    seg_start = jnp.asarray(starts_t)[pat]  # [B, P]
+    seg_end = jnp.asarray(ends_t)[pat]
+
+    coef = blk.mdct.reshape(b, p_tot)
+    noise = blk.noise.reshape(b, p_tot)
+    w = noise[:, 0::2]
+    wy = noise[:, 1::2]
+    g = jnp.arange(p_tot // 2, dtype=jnp.float32)
+
+    def psum(x):
+        z = jnp.zeros((b, 1), jnp.float32)
+        return jnp.concatenate([z, jnp.cumsum(x, axis=-1)], axis=-1)
+
+    cw, cwy = psum(w), psum(wy)
+    cwg, cwg2, cwyg = psum(w * g), psum(w * g * g), psum(wy * g)
+
+    idx = jnp.arange(p_tot)
+    # noise-run amplitude (segment window; reference ULCi_GetNoiseQ)
+    n_noise = jnp.minimum(jnp.clip(seg_end - idx, 0, p_tot), 527)
+    a_line = idx >> 1
+    n_line = (n_noise + (idx & 1) + 1) >> 1
+    b_line = jnp.clip(a_line + n_line, 0, p_tot // 2)
+    s_wy = jnp.take_along_axis(cwy, b_line, 1) - cwy[:, : p_tot // 2][:, a_line]
+    s_w = jnp.take_along_axis(cw, b_line, 1) - cw[:, : p_tot // 2][:, a_line]
+    amp = jnp.exp(s_wy / jnp.where(s_w > 0, s_w, 1.0))
+    # amp is candidate-independent; the (candidate-dependent) zone
+    # quantizer is folded in inside the kernel: nq = cq(amp * 2^q_ev)
+    amp_noise = jnp.where(s_wy != 0.0, amp, 0.0)
+
+    # HF-extension least-squares (candidate independent)
+    n_tail = jnp.clip(seg_end - idx, 0, p_tot)
+    nl_t = (n_tail + (idx & 1) + 1) >> 1
+    bt = jnp.clip(a_line + nl_t, 0, p_tot // 2)
+    af = a_line.astype(jnp.float32)
+    tk = lambda cs: jnp.take_along_axis(cs, bt, 1) - cs[:, : p_tot // 2][:, a_line]
+    sw, swy, swg, swg2, swyg = tk(cw), tk(cwy), tk(cwg), tk(cwg2), tk(cwyg)
+    sx = 2.0 * (swg - af * sw)
+    sx2 = 4.0 * (swg2 - 2.0 * af * swg + af * af * sw)
+    sxy = 2.0 * (swyg - af * swy)
+    det = sw * sx2 - sx * sx
+    solvable = det != 0.0
+    det_s = jnp.where(solvable, det, 1.0)
+    amp_log = (sx2 * swy - sx * sxy) / det_s
+    dec_log = (sw * sxy - sx * swy) / det_s
+    amp_lin = jnp.exp(amp_log)
+    dec_lin = jnp.where(dec_log < 0, jnp.exp(dec_log), 1.0)
+    dec_raw = _cq_unsigned((dec_lin - 1.0) * np.float32(-(2.0**19)))
+    hf_ok = solvable & (dec_raw > 0)
+    dec_q = jnp.minimum(dec_raw, 255)
+
+    is_seg_start = (idx[None, :] == seg_start).astype(jnp.int32)
+    segdelta = jnp.clip(seg_end - idx, 0, 0x1FFF)
+    rank = jnp.clip(blk.rank.reshape(b, p_tot), 0, 0x1FFF)
+    aux = rank | (segdelta << 13) | (is_seg_start << 30)
+
+    wc = blk.window_ctrl
+    header = jnp.stack([wc & 0xF, (wc >> 4) & 0xF], axis=-1).astype(jnp.int32)
+    n_header = jnp.where((wc & 0x8) != 0, 2, 1).astype(jnp.int32)
+
+    return FastBlockData(
+        coef, aux, amp_noise, amp_lin, hf_ok, dec_q, wc, header, n_header
+    )
+
+
+def _to_lanes(x, b):
+    """[B, P] -> [G, P, 128] with each stream replicated over 16 lanes."""
+    g = b // pe.N_STREAMS
+    xg = x.reshape(g, pe.N_STREAMS, -1).transpose(0, 2, 1)  # [G, P, 8]
+    return jnp.repeat(xg, pe.N_CAND, axis=-1)  # [G, P, 128]
+
+
+def _from_lanes(x, b):
+    """[G, ..., 128] -> [B, 16, ...]."""
+    g = b // pe.N_STREAMS
+    shp = x.shape[1:-1]
+    y = x.reshape((g,) + shp + (pe.N_STREAMS, pe.N_CAND))
+    # -> [G, 8, 16, ...]
+    perm = (0, len(shp) + 1, len(shp) + 2) + tuple(range(1, len(shp) + 1))
+    y = y.transpose(perm)
+    return y.reshape((b, pe.N_CAND) + shp)
+
+
+def kernel_sizes(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
+                 interpret=False):
+    """nout [B, 16] i32 candidate counts. Returns (token_nybbles [B,16],
+    slotpq [B,16,S], slotlc [B,16,S], nyb [B,16,P]|None)."""
+    b, p_tot = fb.coef.shape
+    n_slots = 8 * cfg.n_chan
+    coef_l = _to_lanes(fb.coef, b)
+    amp_l = _to_lanes(fb.amp_noise, b)
+    aux_l = _to_lanes(fb.aux.astype(jnp.int32), b)
+    nout_l = nout.reshape(b // pe.N_STREAMS, pe.N_STREAMS * pe.N_CAND)
+
+    def one(args):
+        no, cf, am, ax = args
+        return pe.encode_kernel_call(
+            no, cf, am, ax, p_tot, n_slots, materialize, interpret
+        )
+
+    bits, slotpq, slotlc, nyb = lax.map(one, (nout_l, coef_l, amp_l, aux_l))
+    bits = _from_lanes(bits[:, None, :], b)[:, :, 0]
+    slotpq = _from_lanes(slotpq, b)
+    slotlc = _from_lanes(slotlc, b)
+    nyb_out = _from_lanes(nyb, b) if materialize else None
+    return bits, slotpq, slotlc, nyb_out
+
+
+def tail_info(fb: FastBlockData, slotpq, slotlc, cfg: CodecConfig):
+    """Per-(stream, cand, slot) tail token pricing.
+
+    Returns (counts [B,16] total tail nybbles, and per-slot arrays for
+    materialization: t_pos, t_cnt, t_nyb (packed u32), valid mask).
+    """
+    n, c = cfg.block_size, cfg.n_chan
+    b = fb.coef.shape[0]
+    is_end_t, sstart_t, send_t = _slot_tables(n, c)
+    pat = fb.window_ctrl >> 4
+    is_end = jnp.asarray(is_end_t)[pat][:, None, :]    # [B, 1, S]
+    sstart = jnp.asarray(sstart_t)[pat][:, None, :]
+    send = jnp.asarray(send_t)[pat][:, None, :]
+
+    pq = slotpq  # [B, 16, S]
+    lc = slotlc
+    has_coded = lc >= sstart
+    p_tail = jnp.where(has_coded, lc + 1, sstart)
+    n_tail = send - p_tail
+    pq_valid = pq >= 0
+
+    # HF-extension params at p_tail (candidate-independent fit)
+    pt_c = jnp.clip(p_tail, 0, fb.coef.shape[1] - 1)
+    gat = lambda x: jnp.take_along_axis(
+        x[:, None, :].repeat(pe.N_CAND, 1).reshape(b * pe.N_CAND, -1),
+        pt_c.reshape(b * pe.N_CAND, -1),
+        axis=-1,
+    ).reshape(pt_c.shape)
+    amp_t = gat(fb.amp_lin)
+    hfok_t = gat(fb.hf_ok.astype(jnp.int32)) == 1
+    dec_t = gat(fb.dec_q)
+    pq_scale = jnp.exp2(jnp.clip(pq, 0, 31).astype(jnp.float32))
+    nq_hf = jnp.minimum(_cq_unsigned(amp_t * pq_scale * 4.0), 16)
+    do_hf = (
+        (is_end == 1)
+        & pq_valid
+        & (n_tail > 4)
+        & (n_tail >= 16)
+        & hfok_t
+        & (nq_hf > 0)
+    )
+    do_stop = (is_end == 1) & (n_tail > 4) & (~do_hf)
+    do_zt = (is_end == 1) & (n_tail > 0) & (n_tail <= 4)
+    t_cnt = jnp.where(
+        do_hf,
+        5,
+        jnp.where(do_stop, jnp.where(pq_valid, 3, 2), jnp.where(do_zt, 2, 0)),
+    )
+
+    # packed nybbles (low nybble first), same packing as the kernel
+    hf_p = (
+        0xF
+        | (0xF << 4)
+        | (((nq_hf - 1) & 0xF) << 8)
+        | (((dec_t >> 4) & 0xF) << 12)
+        | ((dec_t & 0xF) << 16)
+    )
+    stop_p = jnp.where(
+        pq_valid, 0xF | (0xE << 4) | (0xF << 8), 0xE | (0xF << 4)
+    )
+    zt_p = 0x0 | (jnp.clip(n_tail - 1, 0, 0xF) << 4)
+    t_nyb = jnp.where(do_hf, hf_p, jnp.where(do_stop, stop_p, zt_p))
+    t_nyb = (t_nyb & 0x0FFFFFFF) | (t_cnt << 28)
+    valid = t_cnt > 0
+    total = jnp.sum(t_cnt, axis=-1)  # [B, 16]
+    return total, p_tail, t_nyb, valid
+
+
+def total_sizes(fb: FastBlockData, nout, cfg: CodecConfig, interpret=False):
+    """Byte-aligned block sizes in bits for candidates nout [B, 16]."""
+    bits, slotpq, slotlc, _ = kernel_sizes(fb, nout, cfg, False, interpret)
+    t_total, _, _, _ = tail_info(fb, slotpq, slotlc, cfg)
+    total = 4 * (bits + t_total + fb.n_header[:, None])
+    return (total + 7) & ~7
+
+
+def rate_search_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
+                     interpret=False):
+    """3-round 16-candidate ladder on the kernel (cf. _cbr_search_ladder)."""
+    import math
+
+    b = fb.coef.shape[0]
+    p_tot = fb.coef.shape[1]
+    k = pe.N_CAND
+    rounds = max(1, int(math.ceil(math.log(p_tot, k))))
+    lo = jnp.zeros(b, jnp.int32)
+    hi = n_nz.astype(jnp.int32)
+    for _ in range(rounds):
+        step = jnp.maximum((hi - lo + k - 1) // k, 1)
+        cands = lo[:, None] + step[:, None] * jnp.arange(1, k + 1, dtype=jnp.int32)
+        cands_c = jnp.minimum(cands, jnp.maximum(hi, 0)[:, None])
+        sizes = total_sizes(fb, cands_c, cfg, interpret)
+        feas = (sizes <= budget[:, None]) & (cands <= hi[:, None])
+        any_f = jnp.any(feas, axis=-1)
+        best = jnp.max(jnp.where(feas, cands_c, lo[:, None]), axis=-1)
+        first_bad = jnp.min(
+            jnp.where(feas | (cands > hi[:, None]), jnp.int32(2**30), cands),
+            axis=-1,
+        )
+        lo = jnp.where(any_f, best, lo)
+        hi = jnp.minimum(hi, first_bad - 1)
+    return lo
+
+
+def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
+                     interpret=False):
+    """Assemble byte streams for chosen n_out [B]. Returns
+    (size_bits [B], bytes [B, max_bytes])."""
+    b, p_tot = fb.coef.shape
+    nout16 = jnp.broadcast_to(n_out[:, None], (b, pe.N_CAND))
+    bits, slotpq, slotlc, nyb = kernel_sizes(fb, nout16, cfg, True, interpret)
+    t_total, t_pos, t_nyb, t_valid = tail_info(fb, slotpq, slotlc, cfg)
+
+    packed = nyb[:, 0]            # [B, P] (all 16 lanes identical)
+    tp = t_pos[:, 0]              # [B, S]
+    tn = t_nyb[:, 0]
+    tv = t_valid[:, 0]
+    # inject tail tokens at their positions (kernel leaves them empty)
+    bidx = jnp.arange(b)[:, None]
+    packed = packed.at[bidx, jnp.clip(tp, 0, p_tot - 1)].max(
+        jnp.where(tv, tn, 0), mode="drop"
+    )
+
+    counts = (packed >> 28) & 0xF
+    total_nyb = fb.n_header + jnp.sum(counts, axis=-1)
+    size_bits = (4 * total_nyb + 7) & ~7
+
+    max_nyb = 2 * max_bytes
+    offs = fb.n_header[:, None] + jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(counts, axis=-1)[:, :-1]],
+        axis=-1,
+    )
+    flat = jnp.zeros((b, max_nyb), jnp.uint8)
+    hdr_idx = jnp.arange(2)[None, :]
+    flat = flat.at[
+        bidx, jnp.where(hdr_idx < fb.n_header[:, None], hdr_idx, max_nyb - 1)
+    ].max(
+        jnp.where(hdr_idx < fb.n_header[:, None], fb.header, 0).astype(jnp.uint8),
+        mode="drop",
+    )
+    slot = jnp.arange(7)
+    tgt = offs[:, :, None] + slot[None, None, :]
+    valid = slot[None, None, :] < counts[:, :, None]
+    tgt = jnp.where(valid, tgt, max_nyb - 1)
+    vals = jnp.where(
+        valid, (packed[:, :, None] >> (4 * slot[None, None, :])) & 0xF, 0
+    )
+    flat = flat.at[bidx[:, :, None] * 0 + bidx[:, :, None], tgt].max(
+        vals.astype(jnp.uint8), mode="drop"
+    )
+    by = (flat[:, 0::2] | (flat[:, 1::2] << 4)).astype(jnp.uint8)
+    return size_bits, by

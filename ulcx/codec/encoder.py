@@ -184,16 +184,68 @@ def init_carry_batched(cfg: CodecConfig, batch: int):
     )
 
 
+def _use_kernel(cfg: CodecConfig, batch: int) -> bool:
+    if cfg.use_pallas == "off":
+        return False
+    shape_ok = (
+        cfg.n_chan * cfg.block_size <= 4096
+        and batch % 8 == 0
+        and cfg.noise_run_window == "segment"
+    )
+    if not shape_ok:
+        return False
+    if cfg.use_pallas == "on":
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
+def _encode_analyzed_fast(blk: AnalyzedBlock, cfg: CodecConfig, mode: str, **kw):
+    """Batched encode via the fused Pallas bitstream kernels."""
+    from ulcx.bitstream.fast_encode import (
+        materialize_fast,
+        prepare_fast,
+        rate_search_fast,
+    )
+
+    interpret = jax.default_backend() in ("cpu",)
+    fb = prepare_fast(blk, cfg)
+    p_tot = cfg.n_chan * cfg.block_size
+    if mode == "vbr":
+        target_cx = _E_TO_E * jnp.log(jnp.float32(100.0) / jnp.float32(kw["quality"]))
+        f_target = (
+            jnp.float32(p_tot) * blk.complexity / jnp.where(target_cx > 0, target_cx, 1.0)
+        )
+        n_out = jnp.where(
+            (target_cx > 0) & (f_target < blk.n_nz.astype(jnp.float32)),
+            f_target.astype(jnp.int32),
+            blk.n_nz,
+        )
+    else:
+        rate = jnp.float32(kw["rate_kbps"])
+        if mode == "abr":
+            rate = rate * blk.complexity / jnp.float32(kw["avg_complexity"])
+        budget = (
+            (jnp.float32(cfg.block_size) * rate) * jnp.float32(1000.0 / cfg.rate_hz)
+        ).astype(jnp.int32)
+        n_out = rate_search_fast(fb, blk.n_nz, budget, cfg, interpret)
+    size, data = materialize_fast(fb, n_out, cfg, max_block_bytes(cfg), interpret)
+    return EncodedBlock(data, size, blk.complexity, blk.window_ctrl)
+
+
 def encode_block_batched(carry, new_blocks, cfg: CodecConfig, mode: str, **kw):
     """Batched full encode step: carry leading [B], new_blocks [B, C, N].
 
     Analysis runs through the batch-native (branch-free) pipeline; the
-    bitstream passes vmap cleanly (their scans carry [B] lanes).
+    bitstream passes use the fused Pallas kernels when eligible, else
+    vmap over the scan path.
     """
     from ulcx.analysis.batched import analyze_block_batched
 
     carry, blk = analyze_block_batched(carry, new_blocks, cfg)
-    enc = jax.vmap(lambda ab: _encode_analyzed(ab, cfg, mode, **kw))(blk)
+    if _use_kernel(cfg, new_blocks.shape[0]):
+        enc = _encode_analyzed_fast(blk, cfg, mode, **kw)
+    else:
+        enc = jax.vmap(lambda ab: _encode_analyzed(ab, cfg, mode, **kw))(blk)
     return carry, enc
 
 

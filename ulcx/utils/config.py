@@ -60,6 +60,11 @@ class CodecConfig:
     # whenever the gap runs to the end of the [sub]block; levels differ
     # by at most ~1 quantization step otherwise.
     noise_run_window: str = "segment"
+    # Fused Pallas bitstream kernels: "auto" uses them on TPU backends
+    # whenever the shape constraints hold (P <= 4096, batch % 8 == 0,
+    # segment noise window); "on" forces them (interpret mode off-TPU),
+    # "off" always uses the XLA scan path.
+    use_pallas: str = "auto"
 
     def __post_init__(self):
         if not (MIN_CHANS <= self.n_chan <= MAX_CHANS):
@@ -75,6 +80,8 @@ class CodecConfig:
             raise ValueError(f"bad rate_search {self.rate_search!r}")
         if self.noise_run_window not in ("segment", "gap"):
             raise ValueError(f"bad noise_run_window {self.noise_run_window!r}")
+        if self.use_pallas not in ("auto", "on", "off"):
+            raise ValueError(f"bad use_pallas {self.use_pallas!r}")
 
     @cached_property
     def max_decimation(self) -> int:
