@@ -227,6 +227,7 @@ def _encode_analyzed_fast(blk: AnalyzedBlock, cfg: CodecConfig, mode: str, **kw)
         budget = (
             (jnp.float32(cfg.block_size) * rate) * jnp.float32(1000.0 / cfg.rate_hz)
         ).astype(jnp.int32)
+        budget = jnp.broadcast_to(budget, blk.n_nz.shape)
         n_out = rate_search_fast(fb, blk.n_nz, budget, cfg, interpret)
     size, data = materialize_fast(fb, n_out, cfg, max_block_bytes(cfg), interpret)
     return EncodedBlock(data, size, blk.complexity, blk.window_ctrl)
