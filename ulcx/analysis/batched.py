@@ -60,11 +60,16 @@ def _psy_noise_batched(mdct, mdst, window_ctrl, cfg: CodecConfig):
     cls_coef = jnp.asarray(t["cls_coef"])[pat]  # [B, N]
 
     if cfg.use_psychoacoustics:
-        masking = jnp.take_along_axis(
-            jnp.stack(mask_cls, axis=-1), cls_line[..., None], axis=-1
+        # per-coefficient masking: within a class, coef k maps to line
+        # k//2 of that class's layout — a 2x repeat, then a 4-way class
+        # select (no large gathers)
+        mask_coef = jnp.take_along_axis(
+            jnp.stack([jnp.repeat(m, 2, axis=-1) for m in mask_cls], axis=-1),
+            jnp.broadcast_to(cls_coef[..., None], (b, n, 1)),
+            axis=-1,
         )[..., 0]
     else:
-        masking = jnp.zeros((b, n // 2), jnp.float32)
+        mask_coef = jnp.zeros((b, n), jnp.float32)
     if cfg.use_noise_coding:
         noise = jnp.take_along_axis(
             jnp.stack(noise_cls, axis=-1),
@@ -74,9 +79,7 @@ def _psy_noise_batched(mdct, mdst, window_ctrl, cfg: CodecConfig):
     else:
         noise = jnp.zeros_like(mdct)
 
-    # coef -> masking line map: subblock-local halving, per pattern
-    mask_map = jnp.asarray(_mask_map_table(n))[pat]  # [B, N]
-    return masking, noise, mask_map
+    return mask_coef, noise
 
 
 _MASK_MAP_CACHE = {}
@@ -111,7 +114,7 @@ def analyze_block_batched(carry: EncoderCarry, new_blocks: jnp.ndarray, cfg: Cod
     mdct, mdst = block_mdct_mdst_batched(
         samples, window_ctrl, carry.prev_last_ss, next_ov, cfg
     )
-    masking, noise, mask_map = _psy_noise_batched(mdct, mdst, window_ctrl, cfg)
+    mask_coef, noise = _psy_noise_batched(mdct, mdst, window_ctrl, cfg)
 
     re2 = mdct * mdct
     val_np = jnp.where(
@@ -119,8 +122,7 @@ def analyze_block_batched(carry: EncoderCarry, new_blocks: jnp.ndarray, cfg: Cod
     )
     if cfg.use_psychoacoustics:
         chan_pen = _NEG_LOG4 * (jnp.arange(cfg.n_chan) & 1).astype(jnp.float32)
-        mask_g = jnp.take_along_axis(masking, mask_map, axis=-1)  # [B, N]
-        importance = 2.0 * val_np + mask_g[:, None, :] + chan_pen[None, :, None]
+        importance = 2.0 * val_np + mask_coef[:, None, :] + chan_pen[None, :, None]
     else:
         importance = val_np
 
@@ -143,9 +145,8 @@ def analyze_block_batched(carry: EncoderCarry, new_blocks: jnp.ndarray, cfg: Cod
 
     flat = importance.reshape(b, -1)
     order = jnp.argsort(-flat, axis=-1)
-    rank = jnp.zeros_like(order).at[jnp.arange(b)[:, None], order].set(
-        jnp.broadcast_to(jnp.arange(flat.shape[-1])[None, :], order.shape)
-    )
+    # inverse permutation by a second argsort (sorts beat scatters on TPU)
+    rank = jnp.argsort(order, axis=-1)
     rank = rank.reshape(importance.shape).astype(jnp.int32)
 
     new_carry = EncoderCarry(

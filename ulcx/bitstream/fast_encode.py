@@ -100,25 +100,64 @@ def prepare_fast(blk: AnalyzedBlock, cfg: CodecConfig) -> FastBlockData:
     cwg, cwg2, cwyg = psum(w * g), psum(w * g * g), psum(wy * g)
 
     idx = jnp.arange(p_tot)
-    # noise-run amplitude (segment window; reference ULCi_GetNoiseQ)
-    n_noise = jnp.minimum(jnp.clip(seg_end - idx, 0, p_tot), 527)
     a_line = idx >> 1
-    n_line = (n_noise + (idx & 1) + 1) >> 1
-    b_line = jnp.clip(a_line + n_line, 0, p_tot // 2)
-    s_wy = jnp.take_along_axis(cwy, b_line, 1) - cwy[:, : p_tot // 2][:, a_line]
-    s_w = jnp.take_along_axis(cw, b_line, 1) - cw[:, : p_tot // 2][:, a_line]
+
+    # Gather-free windowed sums. Window ends are min(line + 264,
+    # segment_end_line) for the noise amplitude and exactly
+    # segment_end_line for the HF fit (both from the (n+(p&1)+1)>>1
+    # pseudo-DFT fixup algebra, segment sizes being even). The min is
+    # resolved on *indices* (an index comparison selecting between a
+    # statically-shifted slice and the segment-end value); segment-end
+    # cumsum values live on the static N/16 line grid, selected per
+    # position through a per-pattern slot table.
+    grid_step = (n // 8) // 2  # lines per slot
+    n_grid = p_tot // 2 // grid_step  # 8 * n_chan
+    grid_pos = np.arange(1, n_grid + 1) * grid_step
+
+    @lru_cache(maxsize=32)
+    def _endslot_table(block_size, n_chan):
+        # [16, P] slot-grid index (0-based) of each position's segment end
+        _, ends, _ = segment_tables(block_size, n_chan)
+        return ((ends // 2) // grid_step - 1).astype(np.int32)
+
+    end_slot = jnp.asarray(_endslot_table(n, c))[pat]  # [B, P] in [0, n_grid)
+
+    def at_segend(cs):
+        grid_vals = cs[:, grid_pos]  # [B, n_grid] static slice
+        out = grid_vals[:, 0:1]
+        for gidx in range(1, n_grid):
+            out = jnp.where(end_slot == gidx, grid_vals[:, gidx : gidx + 1], out)
+        return out
+
+    def shifted(cs, delta):
+        # cs[(p>>1) + delta] as a static padded slice, indexed by a_line
+        padded = jnp.concatenate(
+            [cs, jnp.broadcast_to(cs[:, -1:], (b, delta))], axis=-1
+        )
+        return padded[:, delta : delta + p_tot // 2][:, a_line]
+
+    cw_a = cw[:, : p_tot // 2][:, a_line]
+    cwy_a = cwy[:, : p_tot // 2][:, a_line]
+    cw_end = at_segend(cw)
+    cwy_end = at_segend(cwy)
+
+    seg_end_line = seg_end >> 1  # [B, P]
+    in_window = (a_line[None, :] + 264) < seg_end_line
+    s_w = jnp.where(in_window, shifted(cw, 264), cw_end) - cw_a
+    s_wy = jnp.where(in_window, shifted(cwy, 264), cwy_end) - cwy_a
     amp = jnp.exp(s_wy / jnp.where(s_w > 0, s_w, 1.0))
     # amp is candidate-independent; the (candidate-dependent) zone
     # quantizer is folded in inside the kernel: nq = cq(amp * 2^q_ev)
     amp_noise = jnp.where(s_wy != 0.0, amp, 0.0)
 
-    # HF-extension least-squares (candidate independent)
-    n_tail = jnp.clip(seg_end - idx, 0, p_tot)
-    nl_t = (n_tail + (idx & 1) + 1) >> 1
-    bt = jnp.clip(a_line + nl_t, 0, p_tot // 2)
+    # HF-extension least-squares (candidate independent; window = tail)
     af = a_line.astype(jnp.float32)
-    tk = lambda cs: jnp.take_along_axis(cs, bt, 1) - cs[:, : p_tot // 2][:, a_line]
-    sw, swy, swg, swg2, swyg = tk(cw), tk(cwy), tk(cwg), tk(cwg2), tk(cwyg)
+    tk = lambda cs, ca: at_segend(cs) - ca
+    sw = tk(cw, cw_a)
+    swy = tk(cwy, cwy_a)
+    swg = tk(cwg, cwg[:, : p_tot // 2][:, a_line])
+    swg2 = tk(cwg2, cwg2[:, : p_tot // 2][:, a_line])
+    swyg = tk(cwyg, cwyg[:, : p_tot // 2][:, a_line])
     sx = 2.0 * (swg - af * sw)
     sx2 = 4.0 * (swg2 - 2.0 * af * swg + af * af * sw)
     sxy = 2.0 * (swyg - af * swy)
