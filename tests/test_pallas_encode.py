@@ -75,3 +75,26 @@ def test_kernel_materialize_matches_scan(rng):
             i,
             wcs[i],
         )
+
+
+def test_search_materialize_fused(rng):
+    """Fused search+materialize == separate ladder + materialize."""
+    from ulcx.bitstream.fast_encode import (
+        materialize_fast,
+        rate_search_fast,
+        search_materialize_fast,
+    )
+
+    wcs = [0x10, 0x28, 0x59, 0xFB, 0x10, 0x3A, 0x6C, 0x10]
+    batched, bds, _ = _batched_blocks(rng, wcs)
+    fb = prepare_fast(batched, CFG)
+    n_nz = jnp.full(B, 2 * N, jnp.int32)
+    budget = jnp.full(B, int(N * 128.0 * 1000 / 44100), jnp.int32)
+
+    n1 = rate_search_fast(fb, n_nz, budget, CFG, interpret=True)
+    s1, b1 = materialize_fast(fb, n1, CFG, 2 * C * N, interpret=True)
+    n2, s2, b2 = search_materialize_fast(fb, n_nz, budget, CFG, 2 * C * N, True)
+    assert (np.asarray(n1) == np.asarray(n2)).all(), (np.asarray(n1), np.asarray(n2))
+    assert (np.asarray(s1) == np.asarray(s2)).all()
+    assert (np.asarray(b1) == np.asarray(b2)).all()
+    assert (np.asarray(s1) <= int(N * 128.0 * 1000 / 44100) + 7).all()

@@ -333,25 +333,13 @@ def rate_search_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     return lo
 
 
-def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
-                     interpret=False):
-    """Assemble byte streams for chosen n_out [B]. Returns
-    (size_bits [B], bytes [B, max_bytes])."""
+def _assemble(fb: FastBlockData, packed, t_pos, t_nyb, t_valid, max_bytes: int):
+    """Final stream assembly from per-position packed nybble words."""
     b, p_tot = fb.coef.shape
-    nout16 = jnp.broadcast_to(n_out[:, None], (b, pe.N_CAND))
-    bits, slotpq, slotlc, nyb = kernel_sizes(fb, nout16, cfg, True, interpret)
-    t_total, t_pos, t_nyb, t_valid = tail_info(fb, slotpq, slotlc, cfg)
-
-    packed = nyb[:, 0]            # [B, P] (all 16 lanes identical)
-    tp = t_pos[:, 0]              # [B, S]
-    tn = t_nyb[:, 0]
-    tv = t_valid[:, 0]
-    # inject tail tokens at their positions (kernel leaves them empty)
     bidx = jnp.arange(b)[:, None]
-    packed = packed.at[bidx, jnp.clip(tp, 0, p_tot - 1)].max(
-        jnp.where(tv, tn, 0), mode="drop"
+    packed = packed.at[bidx, jnp.clip(t_pos, 0, p_tot - 1)].max(
+        jnp.where(t_valid, t_nyb, 0), mode="drop"
     )
-
     counts = (packed >> 28) & 0xF
     total_nyb = fb.n_header + jnp.sum(counts, axis=-1)
     size_bits = (4 * total_nyb + 7) & ~7
@@ -376,8 +364,68 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
     vals = jnp.where(
         valid, (packed[:, :, None] >> (4 * slot[None, None, :])) & 0xF, 0
     )
-    flat = flat.at[bidx[:, :, None] * 0 + bidx[:, :, None], tgt].max(
-        vals.astype(jnp.uint8), mode="drop"
-    )
+    flat = flat.at[bidx[:, :, None], tgt].max(vals.astype(jnp.uint8), mode="drop")
     by = (flat[:, 0::2] | (flat[:, 1::2] << 4)).astype(jnp.uint8)
     return size_bits, by
+
+
+def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
+                     interpret=False):
+    """Assemble byte streams for chosen n_out [B]. Returns
+    (size_bits [B], bytes [B, max_bytes])."""
+    b = fb.coef.shape[0]
+    nout16 = jnp.broadcast_to(n_out[:, None], (b, pe.N_CAND))
+    bits, slotpq, slotlc, nyb = kernel_sizes(fb, nout16, cfg, True, interpret)
+    _, t_pos, t_nyb, t_valid = tail_info(fb, slotpq, slotlc, cfg)
+    return _assemble(fb, nyb[:, 0], t_pos[:, 0], t_nyb[:, 0], t_valid[:, 0], max_bytes)
+
+
+def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
+                            max_bytes: int, interpret=False):
+    """CBR/ABR: ladder rate search with the final round fused into
+    materialization (the kernel prices and packs all 16 candidate lanes;
+    the best feasible lane's stream is selected). Returns
+    (n_out [B], size_bits [B], bytes [B, max_bytes])."""
+    import math
+
+    b, p_tot = fb.coef.shape
+    k = pe.N_CAND
+    rounds = max(1, int(math.ceil(math.log(p_tot, k))))
+    lo = jnp.zeros(b, jnp.int32)
+    hi = n_nz.astype(jnp.int32)
+    for _ in range(rounds - 1):
+        step = jnp.maximum((hi - lo + k - 1) // k, 1)
+        cands = lo[:, None] + step[:, None] * jnp.arange(1, k + 1, dtype=jnp.int32)
+        cands_c = jnp.minimum(cands, jnp.maximum(hi, 0)[:, None])
+        sizes = total_sizes(fb, cands_c, cfg, interpret)
+        feas = (sizes <= budget[:, None]) & (cands <= hi[:, None])
+        any_f = jnp.any(feas, axis=-1)
+        best = jnp.max(jnp.where(feas, cands_c, lo[:, None]), axis=-1)
+        first_bad = jnp.min(
+            jnp.where(feas | (cands > hi[:, None]), jnp.int32(2**30), cands),
+            axis=-1,
+        )
+        lo = jnp.where(any_f, best, lo)
+        hi = jnp.minimum(hi, first_bad - 1)
+
+    # final round: candidates lo + 0..15 (bracket width <= 16 after the
+    # earlier rounds for P <= 4096), fused with materialization
+    cands = lo[:, None] + jnp.arange(k, dtype=jnp.int32)
+    cands_c = jnp.minimum(cands, jnp.maximum(jnp.maximum(hi, lo), 0)[:, None])
+    bits, slotpq, slotlc, nyb = kernel_sizes(fb, cands_c, cfg, True, interpret)
+    t_total, t_pos, t_nyb, t_valid = tail_info(fb, slotpq, slotlc, cfg)
+    sizes = (4 * (bits + t_total + fb.n_header[:, None]) + 7) & ~7
+    feas = (sizes <= budget[:, None]) & (cands <= jnp.maximum(hi, lo)[:, None])
+    feas = feas.at[:, 0].set(feas[:, 0] | True)  # lane 0 = lo, always chosen as fallback
+    jidx = jnp.arange(k)[None, :]
+    best_j = jnp.max(jnp.where(feas, jidx, 0), axis=-1)  # [B]
+    n_out = jnp.take_along_axis(cands_c, best_j[:, None], 1)[:, 0]
+
+    sel = lambda x: jnp.take_along_axis(
+        x, best_j[:, None].reshape((b, 1) + (1,) * (x.ndim - 2)), axis=1
+    )[:, 0]
+    packed = sel(nyb)
+    size_bits, by = _assemble(
+        fb, packed, sel(t_pos), sel(t_nyb), sel(t_valid), max_bytes
+    )
+    return n_out, size_bits, by

@@ -204,7 +204,7 @@ def _encode_analyzed_fast(blk: AnalyzedBlock, cfg: CodecConfig, mode: str, **kw)
     from ulcx.bitstream.fast_encode import (
         materialize_fast,
         prepare_fast,
-        rate_search_fast,
+        search_materialize_fast,
     )
 
     interpret = jax.default_backend() in ("cpu",)
@@ -220,6 +220,7 @@ def _encode_analyzed_fast(blk: AnalyzedBlock, cfg: CodecConfig, mode: str, **kw)
             f_target.astype(jnp.int32),
             blk.n_nz,
         )
+        size, data = materialize_fast(fb, n_out, cfg, max_block_bytes(cfg), interpret)
     else:
         rate = jnp.float32(kw["rate_kbps"])
         if mode == "abr":
@@ -228,8 +229,9 @@ def _encode_analyzed_fast(blk: AnalyzedBlock, cfg: CodecConfig, mode: str, **kw)
             (jnp.float32(cfg.block_size) * rate) * jnp.float32(1000.0 / cfg.rate_hz)
         ).astype(jnp.int32)
         budget = jnp.broadcast_to(budget, blk.n_nz.shape)
-        n_out = rate_search_fast(fb, blk.n_nz, budget, cfg, interpret)
-    size, data = materialize_fast(fb, n_out, cfg, max_block_bytes(cfg), interpret)
+        _, size, data = search_materialize_fast(
+            fb, blk.n_nz, budget, cfg, max_block_bytes(cfg), interpret
+        )
     return EncodedBlock(data, size, blk.complexity, blk.window_ctrl)
 
 
