@@ -30,5 +30,9 @@ def companded_quantize_coef(v: jnp.ndarray, limit: int) -> jnp.ndarray:
 
 
 def expand_quantizer(qi: jnp.ndarray) -> jnp.ndarray:
-    """qi (0..26, pre-bias) -> 2^-(5+qi) (reference ulcDecoder.c:96-98)."""
-    return jnp.exp2(-(5.0 + qi.astype(jnp.float32)))
+    """qi (0..28, pre-bias) -> 2^-(5+qi) via the reference's exact
+    integer formula ``((1<<26) >> qi) * 2^-31`` (reference
+    ulcDecoder.c:96-98), including the qi > 26 -> 0 corner."""
+    qi = jnp.asarray(qi, jnp.int32)
+    m = jnp.where(qi < 27, (jnp.int32(1) << 26) >> jnp.clip(qi, 0, 26), 0)
+    return m.astype(jnp.float32) * jnp.float32(2.0**-31)
