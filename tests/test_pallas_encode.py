@@ -21,6 +21,7 @@ B = 8
 
 
 def _batched_blocks(rng, wcs):
+    pass_through = None
     blks, bds, raw = [], [], []
     for wc in wcs:
         blk, coef, noise, rank = synth_block(
@@ -98,3 +99,36 @@ def test_search_materialize_fused(rng):
     assert (np.asarray(s1) == np.asarray(s2)).all()
     assert (np.asarray(b1) == np.asarray(b2)).all()
     assert (np.asarray(s1) <= int(N * 128.0 * 1000 / 44100) + 7).all()
+
+
+def test_kernel_v2_matches_v1(rng):
+    """64-stream sublane-packed kernels == v1 == scan path (sizes+bytes)."""
+    from ulcx.bitstream.fast_encode import kernel_sizes, materialize_fast
+
+    wcs = [int(w) for w in rng.choice([0x10, 0x28, 0x59, 0xFB, 0x3A, 0x6C], 64)]
+    batched, bds, _ = _batched_blocks(rng, wcs)
+    fb = prepare_fast(batched, CFG)
+    nout = jnp.broadcast_to(
+        (jnp.arange(16) * 32 + 16)[None, :], (64, 16)
+    ).astype(jnp.int32)
+    # v2 triggers at b % 64 == 0; compare against scan-path sizes
+    got = np.asarray(
+        jax.jit(lambda f, n: total_sizes(f, n, CFG, interpret=True))(fb, nout)
+    )
+    size_scan = jax.jit(lambda bd, k: encode_pass_size(bd, k, "segment"))
+    for i in range(0, 64, 7):
+        for j in range(0, 16, 3):
+            want = int(size_scan(bds[i], nout[i, j]))
+            assert got[i, j] == want, (i, j, wcs[i], got[i, j], want)
+
+    n_out = jnp.asarray(rng.integers(20, 2 * N - 1, 64).astype(np.int32))
+    sizes, bys = jax.jit(
+        lambda f, n: materialize_fast(f, n, CFG, 2 * C * N, interpret=True)
+    )(fb, n_out)
+    for i in range(0, 64, 9):
+        want_bits, want_by = jax.jit(
+            lambda bd, k: encode_pass_materialize(bd, k, 2 * C * N, "segment")
+        )(bds[i], n_out[i])
+        nb = int(want_bits) // 8
+        assert int(sizes[i]) == int(want_bits), (i, wcs[i])
+        assert np.asarray(bys)[i, :nb].tobytes() == np.asarray(want_by)[:nb].tobytes()

@@ -204,12 +204,58 @@ def _from_lanes(x, b):
     return y.reshape((b, pe.N_CAND) + shp)
 
 
+def _to_lanes2(x, b):
+    """[B, P] -> [G2, P, 8, 128]: stream = g*64 + sub*8 + lane//16."""
+    from ulcx.bitstream import pallas_encode2 as pe2
+
+    g = b // pe2.N_STREAMS
+    xg = x.reshape(g, pe2.SUB, 8, -1).transpose(0, 3, 1, 2)  # [G2, P, 8, 8]
+    return jnp.repeat(xg, pe2.N_CAND, axis=-1)
+
+
+def _from_lanes2(x, b):
+    """[G2, ..., 8, 128] -> [B, 16, ...]."""
+    from ulcx.bitstream import pallas_encode2 as pe2
+
+    g = b // pe2.N_STREAMS
+    shp = x.shape[1:-2]
+    y = x.reshape((g,) + shp + (pe2.SUB, 8, pe2.N_CAND))
+    nd = len(shp)
+    perm = (0, nd + 1, nd + 2, nd + 3) + tuple(range(1, nd + 1))
+    y = y.transpose(perm)
+    return y.reshape((b, pe2.N_CAND) + shp)
+
+
 def kernel_sizes(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
                  interpret=False):
     """nout [B, 16] i32 candidate counts. Returns (token_nybbles [B,16],
     slotpq [B,16,S], slotlc [B,16,S], nyb [B,16,P]|None)."""
     b, p_tot = fb.coef.shape
     n_slots = 8 * cfg.n_chan
+    if b % 64 == 0 and p_tot % 128 == 0:
+        from ulcx.bitstream import pallas_encode2 as pe2
+
+        coef_l = _to_lanes2(fb.coef, b)
+        amp_l = _to_lanes2(fb.amp_noise, b)
+        aux_l = _to_lanes2(fb.aux.astype(jnp.int32), b)
+        nout_l = nout.reshape(b // 64, 8, 8 * pe.N_CAND)  # [G2, SUB, LAN]
+        coef_l = coef_l.transpose(0, 1, 2, 3)
+
+        def one2(args):
+            no, cf, am, ax = args
+            return pe2.encode_kernel_call2(
+                no, cf, am, ax, p_tot, n_slots, materialize, interpret
+            )
+
+        bits, slotpq, slotlc, nyb = lax.map(
+            one2, (nout_l, coef_l, amp_l, aux_l)
+        )
+        bits = _from_lanes2(bits[:, None], b)[:, :, 0]
+        slotpq = _from_lanes2(slotpq, b)
+        slotlc = _from_lanes2(slotlc, b)
+        nyb_out = _from_lanes2(nyb, b) if materialize else None
+        return bits, slotpq, slotlc, nyb_out
+
     coef_l = _to_lanes(fb.coef, b)
     amp_l = _to_lanes(fb.amp_noise, b)
     aux_l = _to_lanes(fb.aux.astype(jnp.int32), b)
@@ -421,9 +467,15 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     best_j = jnp.max(jnp.where(feas, jidx, 0), axis=-1)  # [B]
     n_out = jnp.take_along_axis(cands_c, best_j[:, None], 1)[:, 0]
 
-    sel = lambda x: jnp.take_along_axis(
-        x, best_j[:, None].reshape((b, 1) + (1,) * (x.ndim - 2)), axis=1
-    )[:, 0]
+    def sel(x):
+        # 16-way select (take_along_axis over the candidate axis lowers
+        # to a slow generic gather on TPU)
+        out = x[:, 0]
+        for j in range(1, pe.N_CAND):
+            m = (best_j == j).reshape((b,) + (1,) * (x.ndim - 2))
+            out = jnp.where(m, x[:, j], out)
+        return out
+
     packed = sel(nyb)
     size_bits, by = _assemble(
         fb, packed, sel(t_pos), sel(t_nyb), sel(t_valid), max_bytes
