@@ -296,12 +296,12 @@ def tail_info(fb: FastBlockData, slotpq, slotlc, cfg: CodecConfig):
     n_tail = send - p_tail
     pq_valid = pq >= 0
 
-    # HF-extension params at p_tail (candidate-independent fit)
+    # HF-extension params at p_tail (candidate-independent fit); one
+    # small gather per array ([B, 16*S] queries), no batch replication
     pt_c = jnp.clip(p_tail, 0, fb.coef.shape[1] - 1)
+    kq = pt_c.shape[1] * pt_c.shape[2]
     gat = lambda x: jnp.take_along_axis(
-        x[:, None, :].repeat(pe.N_CAND, 1).reshape(b * pe.N_CAND, -1),
-        pt_c.reshape(b * pe.N_CAND, -1),
-        axis=-1,
+        x, pt_c.reshape(b, kq), axis=-1
     ).reshape(pt_c.shape)
     amp_t = gat(fb.amp_lin)
     hfok_t = gat(fb.hf_ok.astype(jnp.int32)) == 1
@@ -390,28 +390,37 @@ def _assemble(fb: FastBlockData, packed, t_pos, t_nyb, t_valid, max_bytes: int):
     total_nyb = fb.n_header + jnp.sum(counts, axis=-1)
     size_bits = (4 * total_nyb + 7) & ~7
 
+    # Pack by scattering each position's <=28-bit nybble field into u32
+    # words at its bit offset (fields never overlap, so scatter-add ==
+    # bitwise or). Two [B, P] scatters replace a [B, P, 7] one.
     max_nyb = 2 * max_bytes
+    n_words = max_nyb // 8
     offs = fb.n_header[:, None] + jnp.concatenate(
         [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(counts, axis=-1)[:, :-1]],
         axis=-1,
     )
-    flat = jnp.zeros((b, max_nyb), jnp.uint8)
-    hdr_idx = jnp.arange(2)[None, :]
-    flat = flat.at[
-        bidx, jnp.where(hdr_idx < fb.n_header[:, None], hdr_idx, max_nyb - 1)
-    ].max(
-        jnp.where(hdr_idx < fb.n_header[:, None], fb.header, 0).astype(jnp.uint8),
-        mode="drop",
+    field = packed & 0x0FFFFFFF
+    word = offs >> 3
+    shift = (offs & 7) * 4
+    lo = (field << shift).astype(jnp.int32)
+    hi = jnp.where(shift == 0, 0, (field >> (32 - shift))).astype(jnp.int32)
+    has = counts > 0
+    words = jnp.zeros((b, n_words), jnp.int32)
+    words = words.at[bidx, jnp.where(has, word, n_words)].add(
+        jnp.where(has, lo, 0), mode="drop"
     )
-    slot = jnp.arange(7)
-    tgt = offs[:, :, None] + slot[None, None, :]
-    valid = slot[None, None, :] < counts[:, :, None]
-    tgt = jnp.where(valid, tgt, max_nyb - 1)
-    vals = jnp.where(
-        valid, (packed[:, :, None] >> (4 * slot[None, None, :])) & 0xF, 0
+    words = words.at[bidx, jnp.where(has, word + 1, n_words)].add(
+        jnp.where(has, hi, 0), mode="drop"
     )
-    flat = flat.at[bidx[:, :, None], tgt].max(vals.astype(jnp.uint8), mode="drop")
-    by = (flat[:, 0::2] | (flat[:, 1::2] << 4)).astype(jnp.uint8)
+    # header nybbles occupy the start of word 0
+    hdr_field = (fb.header[:, 0] & 0xF) | jnp.where(
+        fb.n_header == 2, (fb.header[:, 1] & 0xF) << 4, 0
+    )
+    words = words.at[:, 0].add(hdr_field)
+    # u32 words -> bytes (low nybble first matches low byte first)
+    sh = jnp.arange(4) * 8
+    by = ((words[:, :, None] >> sh[None, None, :]) & 0xFF).astype(jnp.uint8)
+    by = by.reshape(b, 4 * n_words)
     return size_bits, by
 
 
