@@ -23,8 +23,8 @@ def main():
     from ulcx.parallel.mesh import batch_encode
     from ulcx.utils.config import CodecConfig
 
-    b = int(os.environ.get("ULCX_BENCH_B", "256"))
-    t = int(os.environ.get("ULCX_BENCH_T", "4"))
+    b = int(os.environ.get("ULCX_BENCH_B", "512"))
+    t = int(os.environ.get("ULCX_BENCH_T", "8"))
     n = int(os.environ.get("ULCX_BENCH_BS", "2048"))
     mode = os.environ.get("ULCX_BENCH_MODE", "cbr")
     kw = {"rate_kbps": 128.0} if mode in ("cbr", "abr") else {"quality": 50.0}
