@@ -1,0 +1,142 @@
+"""Kernel-backed batched decoder path.
+
+Pipeline per block (batch of streams):
+  byte windows -> nybbles -> [FSM kernel] records -> gather-free record
+  expansion (scatter at record starts + associative-scan forward fill)
+  -> [RNG kernel] noise signs -> coefficients.
+
+Used by ulcx.codec.decoder.decode_stream_batched when eligible (TPU or
+forced); the scan path remains the bit-identical reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ulcx.bitstream import pallas_decode as pd
+from ulcx.bitstream.decode import REC_COEF, REC_NOISE, REC_TAIL
+from ulcx.utils.config import CodecConfig
+
+
+def _ffill(values, flag, init):
+    """Forward fill along the last axis: value at p = last flagged value
+    at position <= p, else ``init`` (associative scan, no gathers)."""
+
+    def combine(l, r):
+        fl, vl = l
+        fr, vr = r
+        return fl | fr, jnp.where(fr, vr, vl)
+
+    f, v = lax.associative_scan(
+        combine, (flag, jnp.where(flag, values, 0)), axis=values.ndim - 1
+    )
+    return jnp.where(f, v, jnp.asarray(init, values.dtype))
+
+
+def _to_lanes(x, b):
+    """[B, T] -> [G, T, 128] (pad batch to a multiple of 128)."""
+    g = -(-b // pd.LANES)
+    pad = g * pd.LANES - b
+    xp = jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+    ) if pad else x
+    return xp.reshape(g, pd.LANES, -1).transpose(0, 2, 1), g, pad
+
+
+def _from_lanes(x, b):
+    """[G, T, 128] -> [B, T]."""
+    y = x.transpose(0, 2, 1)
+    return y.reshape(-1, x.shape[1])[:b]
+
+
+def decode_block_fast(windows, rng_state, cfg: CodecConfig, interpret=False):
+    """windows: [B, W] uint8 at block starts; rng_state [B] uint32.
+    Returns (coefs [B, C, N], window_ctrl [B], bits [B], corrupt [B],
+    new_rng [B])."""
+    n, c = cfg.block_size, cfg.n_chan
+    p_tot = n * c
+    b, w_bytes = windows.shape
+
+    lo = (windows & 0xF).astype(jnp.int32)
+    hi = (windows >> 4).astype(jnp.int32)
+    nyb = jnp.stack([lo, hi], axis=-1).reshape(b, 2 * w_bytes)
+
+    wc0 = nyb[:, 0]
+    has2 = (wc0 & 0x8) != 0
+    wc = jnp.where(has2, wc0 | (nyb[:, 1] << 4), wc0 | (1 << 4)).astype(jnp.int32)
+    hdr = jnp.where(has2, 2, 1).astype(jnp.int32)
+    t_len = 2 * w_bytes - 2
+    tokens = jnp.where(has2[:, None], nyb[:, 2 : t_len + 2], nyb[:, 1 : t_len + 1])
+
+    tok_l, g, pad = _to_lanes(tokens, b)
+    wc_l = jnp.concatenate([wc, jnp.full((pad,), 0x10, jnp.int32)]) if pad else wc
+    wc_l = wc_l.reshape(g, pd.LANES)
+
+    def one(args):
+        wcg, tk = args
+        return pd.fsm_kernel_call(wcg, tk, p_tot, n, interpret)
+
+    rec, lvl, dcy, consumed, corrupt = lax.map(one, (wc_l, tok_l))
+    rec = _from_lanes(rec, b)
+    lvl = _from_lanes(lvl, b)
+    dcy = _from_lanes(dcy, b)
+    consumed = consumed.reshape(-1)[:b]
+    corrupt = corrupt.reshape(-1)[:b]
+
+    # --- expansion: scatter records at their start positions ---
+    rtype = (rec >> 26) & 0x7
+    start = rec & 0x1FFF
+    emit = rtype != 0
+    bidx = jnp.arange(b)[:, None]
+    tgt = jnp.where(emit, start, p_tot)
+
+    def scat(vals, dtype):
+        return jnp.zeros((b, p_tot), dtype).at[bidx, tgt].set(
+            jnp.where(emit, vals, 0).astype(dtype), mode="drop"
+        )
+
+    type_s = scat(rtype, jnp.int32)
+    lvl_s = scat(lvl, jnp.float32)
+    dcy_s = scat(dcy, jnp.float32)
+    mark = jnp.zeros((b, p_tot), jnp.bool_).at[bidx, tgt].set(emit, mode="drop")
+
+    pos = jnp.arange(p_tot)[None, :]
+    type_p = _ffill(type_s, mark, 0)
+    lvl_p = _ffill(lvl_s, mark, 0.0)
+    dcy_p = _ffill(dcy_s, mark, 0.0)
+    start_p = _ffill(jnp.broadcast_to(pos, (b, p_tot)), mark, 0)
+    k = (pos - start_p).astype(jnp.float32)
+
+    is_draw = (type_p == REC_NOISE) | (type_p == REC_TAIL)
+    is_start = mark
+    flags = is_draw.astype(jnp.int32) | (is_start.astype(jnp.int32) << 1)
+
+    flags_l, g2, pad2 = _to_lanes(flags, b)
+    seed_l = (
+        jnp.concatenate([rng_state, jnp.full((pad2,), 1234567, jnp.uint32)])
+        if pad2
+        else rng_state
+    ).reshape(g2, pd.LANES)
+
+    def one_rng(args):
+        fl, sd = args
+        return pd.rng_kernel_call(fl, sd, p_tot, interpret)
+
+    sign, new_seed = lax.map(one_rng, (flags_l, seed_l))
+    sign = _from_lanes(sign, b)
+    new_seed = new_seed.reshape(-1)[:b]
+
+    mag = jnp.where(
+        type_p == REC_TAIL,
+        lvl_p * jnp.exp(k * jnp.log(jnp.maximum(dcy_p, 1e-30))),
+        lvl_p,
+    )
+    coefs = jnp.where(
+        type_p == REC_COEF, lvl_p, jnp.where(is_draw, mag * sign, 0.0)
+    )
+    coefs = jnp.where(corrupt[:, None] == 1, 0.0, coefs)
+    bits = 4 * (hdr + consumed)
+    return coefs.reshape(b, c, n), wc, bits, corrupt == 1, new_seed

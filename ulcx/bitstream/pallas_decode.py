@@ -1,0 +1,339 @@
+"""Pallas TPU kernels for the bitstream decoder.
+
+Two kernels mirror the encoder's design (see pallas_encode.py):
+
+- **FSM kernel**: the nybble syntax state machine
+  (ulcx.bitstream.decode.decode_block_tokens) as a hardware loop over
+  VMEM — one nybble per step, 128 streams in lanes. Segment ends are
+  computed *arithmetically* from the window-control word (an 8-slot
+  per-pattern next-end register file built once at kernel start), so
+  there are no per-lane table gathers.
+- **RNG kernel**: the xorshift32 cumulative-sign replay over coefficient
+  positions (the reference's process-global noise RNG,
+  ulcDecoder.c:75-81), one position per step.
+
+Record expansion between them is gather-free vectorized JAX
+(associative-scan forward fill; see fast_decode.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ulcx.ops.patterns import pattern_subblock_offsets, pattern_subblock_sizes
+
+LANES = 128
+
+# FSM modes (shared vocabulary with ulcx.bitstream.decode)
+M_QUANT_START = 0
+M_QUANT_EXT_S = 1
+M_NORMAL = 2
+M_QUANT_MID = 3
+M_QUANT_EXT_M = 4
+M_ZSHORT = 5
+M_LRUN_Y = 6
+M_LRUN_X = 7
+M_NOISE_Z = 8
+M_NOISE_Y = 9
+M_NOISE_X = 10
+M_TAIL_Z = 11
+M_TAIL_Y = 12
+M_TAIL_X = 13
+M_DONE = 14
+
+REC_NONE = 0
+REC_COEF = 1
+REC_ZERO = 2
+REC_NOISE = 3
+REC_TAIL = 4
+
+
+def _next_end_table(block_size: int):
+    """[16][8]: for each pattern and N/8 slot, the in-channel coefficient
+    index where the segment containing that slot ends."""
+    out = np.zeros((16, 8), np.int32)
+    for pat in range(16):
+        pi = pat or 1
+        for off, ss in zip(
+            pattern_subblock_offsets(pi, block_size),
+            pattern_subblock_sizes(pi, block_size),
+        ):
+            s0 = off // (block_size // 8)
+            s1 = (off + ss) // (block_size // 8)
+            out[pat, s0:s1] = off + ss
+    return out
+
+
+def _expand_quant(qi):
+    m = jnp.where(qi < 27, (jnp.int32(1) << 26) >> jnp.clip(qi, 0, 26), 0)
+    return m.astype(jnp.float32) * jnp.float32(2.0**-31)
+
+
+def _fsm_kernel(wc_ref, nyb_ref, rec_ref, lvl_ref, dcy_ref, meta_ref,
+                *, p_tot: int, n: int, t_len: int):
+    wc = wc_ref[0, :]
+    pat = wc >> 4
+    slot_shift = int(np.log2(n // 8))
+    net = _next_end_table(n)
+    # per-lane next-end register file: nse[s] = in-channel segment end
+    # for slot s (16-way pattern select, once)
+    nse = []
+    for s in range(8):
+        v = jnp.full((LANES,), net[1, s], jnp.int32)
+        for p in range(16):
+            v = jnp.where(pat == p, jnp.int32(int(net[p, s])), v)
+        nse.append(v)
+
+    def seg_end_of(pos):
+        cb = pos & ~(n - 1)
+        slot = (pos & (n - 1)) >> slot_shift
+        se = nse[0]
+        for s in range(1, 8):
+            se = jnp.where(slot == s, nse[s], se)
+        return cb + se
+
+    def body(t, carry):
+        mode, pos, qi, r0, r1, corrupt, consumed = carry
+        x = nyb_ref[t, :]
+        active = (mode != M_DONE) & (corrupt == 0)
+        se = seg_end_of(pos)
+        remaining = se - pos
+        quant = _expand_quant(qi)
+
+        new_m = mode
+        new_pos = pos
+        new_qi = qi
+        new_r0 = r0
+        new_r1 = r1
+        new_cor = corrupt
+        emit = jnp.zeros((LANES,), jnp.bool_)
+        rtype = jnp.full((LANES,), REC_NONE, jnp.int32)
+        rcount = jnp.zeros((LANES,), jnp.int32)
+        rlevel = jnp.zeros((LANES,), jnp.float32)
+        rdecay = jnp.zeros((LANES,), jnp.float32)
+
+        def seg_adv(p):
+            return jnp.where(p >= p_tot, M_DONE, jnp.where(p == se, M_QUANT_START, M_NORMAL))
+
+        in_qs = mode == M_QUANT_START
+        new_m = jnp.where(in_qs, jnp.where(x == 0xE, M_QUANT_EXT_S, M_NORMAL), new_m)
+        new_qi = jnp.where(in_qs & (x < 0xE), x, new_qi)
+        new_cor = new_cor | (in_qs & (x == 0xF)).astype(jnp.int32)
+
+        for in_qe in (mode == M_QUANT_EXT_S, mode == M_QUANT_EXT_M):
+            qe_stop = in_qe & (x == 0xF)
+            emit = emit | qe_stop
+            rtype = jnp.where(qe_stop, REC_ZERO, rtype)
+            rcount = jnp.where(qe_stop, remaining, rcount)
+            new_pos = jnp.where(qe_stop, se, new_pos)
+            new_m = jnp.where(in_qe, jnp.where(x == 0xF, seg_adv(se), M_NORMAL), new_m)
+            new_qi = jnp.where(in_qe & (x != 0xF), 0xE + x, new_qi)
+
+        in_qm = mode == M_QUANT_MID
+        new_m = jnp.where(
+            in_qm,
+            jnp.where(x == 0xF, M_TAIL_Z, jnp.where(x == 0xE, M_QUANT_EXT_M, M_NORMAL)),
+            new_m,
+        )
+        new_qi = jnp.where(in_qm & (x < 0xE), x, new_qi)
+
+        in_n = mode == M_NORMAL
+        is_coef = in_n & (x != 0x0) & (x != 0x1) & (x != 0x8) & (x != 0xF)
+        s = (x ^ 0x8) - 0x8
+        val = jnp.where(s < 0, -(s * s), s * s).astype(jnp.float32) * quant
+        emit = emit | is_coef
+        rtype = jnp.where(is_coef, REC_COEF, rtype)
+        rcount = jnp.where(is_coef, 1, rcount)
+        rlevel = jnp.where(is_coef, val, rlevel)
+        pos_c = pos + 1
+        new_pos = jnp.where(is_coef, pos_c, new_pos)
+        new_m = jnp.where(is_coef, seg_adv(pos_c), new_m)
+        new_m = jnp.where(in_n & (x == 0x0), M_ZSHORT, new_m)
+        new_m = jnp.where(in_n & (x == 0x1), M_LRUN_Y, new_m)
+        new_m = jnp.where(in_n & (x == 0x8), M_NOISE_Z, new_m)
+        new_m = jnp.where(in_n & (x == 0xF), M_QUANT_MID, new_m)
+
+        in_zs = mode == M_ZSHORT
+        n_zs = x + 1
+        zs_bad = in_zs & (n_zs > remaining)
+        zs_ok = in_zs & (~zs_bad)
+        new_cor = new_cor | zs_bad.astype(jnp.int32)
+        emit = emit | zs_ok
+        rtype = jnp.where(zs_ok, REC_ZERO, rtype)
+        rcount = jnp.where(zs_ok, n_zs, rcount)
+        pos_z = pos + n_zs
+        new_pos = jnp.where(zs_ok, pos_z, new_pos)
+        new_m = jnp.where(zs_ok, seg_adv(pos_z), new_m)
+
+        in_ly = mode == M_LRUN_Y
+        new_r0 = jnp.where(in_ly, x, new_r0)
+        new_m = jnp.where(in_ly, M_LRUN_X, new_m)
+        in_lx = mode == M_LRUN_X
+        n_l = ((r0 << 4) | x) + 33
+        l_bad = in_lx & (n_l > remaining)
+        l_ok = in_lx & (~l_bad)
+        new_cor = new_cor | l_bad.astype(jnp.int32)
+        emit = emit | l_ok
+        rtype = jnp.where(l_ok, REC_ZERO, rtype)
+        rcount = jnp.where(l_ok, n_l, rcount)
+        pos_l = pos + n_l
+        new_pos = jnp.where(l_ok, pos_l, new_pos)
+        new_m = jnp.where(l_ok, seg_adv(pos_l), new_m)
+
+        in_nz = mode == M_NOISE_Z
+        new_r0 = jnp.where(in_nz, x, new_r0)
+        new_m = jnp.where(in_nz, M_NOISE_Y, new_m)
+        in_ny = mode == M_NOISE_Y
+        new_r0 = jnp.where(in_ny, (r0 << 4) | x, new_r0)
+        new_m = jnp.where(in_ny, M_NOISE_X, new_m)
+        in_nx = mode == M_NOISE_X
+        n_noise = ((r0 << 1) | (x & 1)) + 16
+        lvl_q = (x >> 1) + 1
+        nx_bad = in_nx & (n_noise > remaining)
+        nx_ok = in_nx & (~nx_bad)
+        new_cor = new_cor | nx_bad.astype(jnp.int32)
+        emit = emit | nx_ok
+        rtype = jnp.where(nx_ok, REC_NOISE, rtype)
+        rcount = jnp.where(nx_ok, n_noise, rcount)
+        rlevel = jnp.where(
+            nx_ok, (lvl_q * lvl_q).astype(jnp.float32) * quant * jnp.float32(0.25), rlevel
+        )
+        pos_n = pos + n_noise
+        new_pos = jnp.where(nx_ok, pos_n, new_pos)
+        new_m = jnp.where(nx_ok, seg_adv(pos_n), new_m)
+
+        in_tz = mode == M_TAIL_Z
+        new_r0 = jnp.where(in_tz, x, new_r0)
+        new_m = jnp.where(in_tz, M_TAIL_Y, new_m)
+        in_ty = mode == M_TAIL_Y
+        new_r1 = jnp.where(in_ty, x, new_r1)
+        new_m = jnp.where(in_ty, M_TAIL_X, new_m)
+        in_tx = mode == M_TAIL_X
+        lvl_t = r0 + 1
+        dn = (r1 << 4) | x
+        emit = emit | in_tx
+        rtype = jnp.where(in_tx, REC_TAIL, rtype)
+        rcount = jnp.where(in_tx, remaining, rcount)
+        rlevel = jnp.where(
+            in_tx,
+            (lvl_t * lvl_t).astype(jnp.float32) * quant * jnp.float32(1.0 / 16),
+            rlevel,
+        )
+        rdecay = jnp.where(
+            in_tx,
+            jnp.float32(1.0) + (dn * dn).astype(jnp.float32) * jnp.float32(-(2.0**-19)),
+            rdecay,
+        )
+        new_pos = jnp.where(in_tx, se, new_pos)
+        new_m = jnp.where(in_tx, seg_adv(se), new_m)
+
+        act = active
+        emit = act & emit
+        rec = jnp.where(
+            emit,
+            jnp.clip(pos, 0, p_tot) | (jnp.clip(rcount, 0, 8191) << 13)
+            | (jnp.where(emit, rtype, REC_NONE) << 26),
+            0,
+        )
+        rec_ref[t, :] = rec
+        lvl_ref[t, :] = jnp.where(emit, rlevel, 0.0)
+        dcy_ref[t, :] = jnp.where(emit, rdecay, 0.0)
+
+        return (
+            jnp.where(act, new_m, mode).astype(jnp.int32),
+            jnp.where(act, new_pos, pos).astype(jnp.int32),
+            jnp.where(act, new_qi, qi).astype(jnp.int32),
+            jnp.where(act, new_r0, r0).astype(jnp.int32),
+            jnp.where(act, new_r1, r1).astype(jnp.int32),
+            jnp.where(act, new_cor, corrupt).astype(jnp.int32),
+            consumed + act.astype(jnp.int32),
+        )
+
+    init = (
+        jnp.full((LANES,), M_QUANT_START, jnp.int32),
+        jnp.zeros((LANES,), jnp.int32),
+        jnp.zeros((LANES,), jnp.int32),
+        jnp.zeros((LANES,), jnp.int32),
+        jnp.zeros((LANES,), jnp.int32),
+        jnp.zeros((LANES,), jnp.int32),
+        jnp.zeros((LANES,), jnp.int32),
+    )
+    mode, pos, qi, r0, r1, cor, consumed = lax.fori_loop(0, t_len, body, init)
+    meta_ref[0, :] = consumed
+    meta_ref[1, :] = cor | (mode != M_DONE).astype(jnp.int32)
+
+
+def fsm_kernel_call(wc, nybbles, p_tot: int, n: int, interpret: bool = False):
+    """wc [LANES] i32; nybbles [T, LANES] i32 (header stripped).
+
+    Returns (rec [T, LANES] i32 packed start|count<<13|type<<26,
+    level [T, LANES] f32, decay [T, LANES] f32,
+    consumed [LANES] i32, corrupt [LANES] i32)."""
+    t_len = nybbles.shape[0]
+    kern = functools.partial(_fsm_kernel, p_tot=p_tot, n=n, t_len=t_len)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rec, lvl, dcy, meta = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((t_len, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((t_len, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((8, LANES), jnp.int32),
+        ),
+        in_specs=[vspec, vspec],
+        out_specs=(vspec, vspec, vspec, vspec),
+        interpret=interpret,
+    )(jnp.broadcast_to(wc[None, :], (8, LANES)).astype(jnp.int32), nybbles)
+    return rec, lvl, dcy, meta[0], meta[1]
+
+
+def _rng_kernel(flags_ref, seed_ref, sign_ref, seed_out_ref, *, p_tot: int):
+    """Replay the xorshift32 cumulative-sign sequence.
+
+    flags[p]: bit0 = draw (noise/tail coefficient), bit1 = record start.
+    """
+
+    def body(p, carry):
+        state, parity = carry
+        f = flags_ref[p, :]
+        draw = (f & 1) == 1
+        st = (f & 2) == 2
+        s2 = state ^ (state << 13)
+        s2 = s2 ^ (s2 >> 17)
+        s2 = s2 ^ (s2 << 5)
+        state = jnp.where(draw, s2, state)
+        bit = (state >> 31) & jnp.uint32(1)
+        parity = jnp.where(st, jnp.uint32(0), parity)
+        parity = jnp.where(draw, parity ^ bit, parity)
+        sign_ref[p, :] = jnp.where(parity == 1, -1.0, 1.0).astype(jnp.float32)
+        return state, parity
+
+    state, _ = lax.fori_loop(
+        0, p_tot, body, (seed_ref[0, :], jnp.zeros((LANES,), jnp.uint32))
+    )
+    seed_out_ref[0, :] = state
+
+
+def rng_kernel_call(flags, seed, p_tot: int, interpret: bool = False):
+    """flags [P, LANES] i32; seed [LANES] u32.
+    Returns (sign [P, LANES] f32, new_seed [LANES] u32)."""
+    kern = functools.partial(_rng_kernel, p_tot=p_tot)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sign, seed_out = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((p_tot, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((8, LANES), jnp.uint32),
+        ),
+        in_specs=[vspec, vspec],
+        out_specs=(vspec, vspec),
+        interpret=interpret,
+    )(flags, jnp.broadcast_to(seed[None, :], (8, LANES)).astype(jnp.uint32))
+    return sign, seed_out[0]

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -84,6 +85,51 @@ def decode_block(window: jnp.ndarray, carry: DecoderCarry, cfg: CodecConfig):
     new_carry = DecoderCarry(lap=lap, prev_last_ss=last_ss, rng=rng)
     bits = 4 * (hdr + consumed)
     return pcm, new_carry, bits, corrupt
+
+
+def decode_stream_batched(
+    streams: jnp.ndarray,
+    n_blocks: int,
+    window_bytes: int,
+    cfg: CodecConfig,
+    interpret: bool = False,
+):
+    """Kernel-backed batched stream decode.
+
+    streams: [B, S] uint8 (each padded so every window slice is in
+    bounds). Returns (pcm [B, n_blocks, C, N], bits [B, n_blocks],
+    corrupt [B, n_blocks]).
+    """
+    from ulcx.bitstream.fast_decode import decode_block_fast
+    from ulcx.codec.transform_batched import block_imdct_batched
+
+    b = streams.shape[0]
+
+    def step(state, _):
+        offset, lap, prev_ss, rng = state
+        windows = jax.vmap(
+            lambda s, o: lax.dynamic_slice(s, (o,), (window_bytes,))
+        )(streams, offset)
+        coefs, wc, bits, corrupt, rng = decode_block_fast(
+            windows, rng, cfg, interpret
+        )
+        pcm, lap, prev_ss = block_imdct_batched(coefs, wc, lap, prev_ss, cfg)
+        pcm = inverse_ms(pcm)
+        offset = offset + (bits + 7) // 8
+        return (offset, lap, prev_ss, rng), (pcm, bits, corrupt)
+
+    init = (
+        jnp.zeros(b, jnp.int32),
+        jnp.zeros((b, cfg.n_chan, cfg.block_size // 2), jnp.float32),
+        jnp.zeros(b, jnp.int32),
+        jnp.full(b, 1234567, jnp.uint32),
+    )
+    _, (pcm, bits, corrupt) = lax.scan(step, init, None, length=n_blocks)
+    return (
+        jnp.swapaxes(pcm, 0, 1),
+        jnp.swapaxes(bits, 0, 1),
+        jnp.swapaxes(corrupt, 0, 1),
+    )
 
 
 def decode_stream(

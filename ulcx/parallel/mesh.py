@@ -79,12 +79,24 @@ def batch_decode(
     streams, n_blocks: int, window_bytes: int, cfg: CodecConfig, mesh: Mesh | None = None
 ):
     """Decode a batch of padded byte streams [B, S] -> pcm [B, T, C, N]."""
+    from ulcx.codec.decoder import decode_stream_batched
 
-    def per_stream(s):
-        pcm, bits, corrupt, _ = decode_stream(s, n_blocks, window_bytes, cfg)
-        return pcm, bits, corrupt
+    use_kernel = cfg.use_pallas != "off" and (
+        cfg.use_pallas == "on" or jax.default_backend() not in ("cpu",)
+    )
 
-    vmapped = jax.vmap(per_stream)
+    def vmapped(ss):
+        if use_kernel:
+            return decode_stream_batched(
+                ss,
+                n_blocks,
+                window_bytes,
+                cfg,
+                interpret=jax.default_backend() in ("cpu",),
+            )
+        return jax.vmap(
+            lambda s: decode_stream(s, n_blocks, window_bytes, cfg)[:3]
+        )(ss)
     if mesh is None:
         return vmapped(streams)
 
