@@ -78,15 +78,22 @@ def _expand_quant(qi):
 
 def _fsm_kernel(wc_ref, nyb_ref, rec_ref, lvl_ref, dcy_ref, meta_ref,
                 *, p_tot: int, n: int, t_len: int):
+    """Single packed loop carry: pos(13) | mode(4)<<13 | qi(5)<<17 |
+    r0(8)<<22 | corrupt(1)<<30.
+
+    The Mosaic TPU compiler (as shipped here) fails on loops where a
+    second carry is updated under a predicate derived from another,
+    cyclically-updated carry — so the whole FSM state lives in ONE
+    word, and per-step 'consumed' is recovered outside the kernel by
+    summing the active bit emitted with each record word.
+    """
     wc = wc_ref[0, :]
     pat = wc >> 4
     slot_shift = int(np.log2(n // 8))
     net = _next_end_table(n)
-    # per-lane next-end register file: nse[s] = in-channel segment end
-    # for slot s (16-way pattern select, once)
     nse = []
     for s in range(8):
-        v = jnp.full((LANES,), net[1, s], jnp.int32)
+        v = jnp.full((LANES,), int(net[1, s]), jnp.int32)
         for p in range(16):
             v = jnp.where(pat == p, jnp.int32(int(net[p, s])), v)
         nse.append(v)
@@ -99,8 +106,12 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, lvl_ref, dcy_ref, meta_ref,
             se = jnp.where(slot == s, nse[s], se)
         return cb + se
 
-    def body(t, carry):
-        mode, pos, qi, r0, r1, corrupt, consumed = carry
+    def body(t, st):
+        pos = st & 0x1FFF
+        mode = (st >> 13) & 0xF
+        qi = (st >> 17) & 0x1F
+        r0 = (st >> 22) & 0xFF
+        corrupt = (st >> 30) & 1
         x = nyb_ref[t, :]
         active = (mode != M_DONE) & (corrupt == 0)
         se = seg_end_of(pos)
@@ -111,7 +122,6 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, lvl_ref, dcy_ref, meta_ref,
         new_pos = pos
         new_qi = qi
         new_r0 = r0
-        new_r1 = r1
         new_cor = corrupt
         emit = jnp.zeros((LANES,), jnp.bool_)
         rtype = jnp.full((LANES,), REC_NONE, jnp.int32)
@@ -209,15 +219,16 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, lvl_ref, dcy_ref, meta_ref,
         new_pos = jnp.where(nx_ok, pos_n, new_pos)
         new_m = jnp.where(nx_ok, seg_adv(pos_n), new_m)
 
+        # tail: r0 accumulates Z then (Z<<4)|Y; TAIL_X decodes both
         in_tz = mode == M_TAIL_Z
         new_r0 = jnp.where(in_tz, x, new_r0)
         new_m = jnp.where(in_tz, M_TAIL_Y, new_m)
         in_ty = mode == M_TAIL_Y
-        new_r1 = jnp.where(in_ty, x, new_r1)
+        new_r0 = jnp.where(in_ty, (r0 << 4) | x, new_r0)
         new_m = jnp.where(in_ty, M_TAIL_X, new_m)
         in_tx = mode == M_TAIL_X
-        lvl_t = r0 + 1
-        dn = (r1 << 4) | x
+        lvl_t = (r0 >> 4) + 1
+        dn = ((r0 & 0xF) << 4) | x
         emit = emit | in_tx
         rtype = jnp.where(in_tx, REC_TAIL, rtype)
         rcount = jnp.where(in_tx, remaining, rcount)
@@ -234,40 +245,30 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, lvl_ref, dcy_ref, meta_ref,
         new_pos = jnp.where(in_tx, se, new_pos)
         new_m = jnp.where(in_tx, seg_adv(se), new_m)
 
-        act = active
-        emit = act & emit
+        emit = active & emit
         rec = jnp.where(
             emit,
-            jnp.clip(pos, 0, p_tot) | (jnp.clip(rcount, 0, 8191) << 13)
-            | (jnp.where(emit, rtype, REC_NONE) << 26),
+            jnp.clip(pos, 0, p_tot)
+            | (jnp.clip(rcount, 0, 8191) << 13)
+            | (rtype << 26),
             0,
-        )
+        ) | (active.astype(jnp.int32) << 29)
         rec_ref[t, :] = rec
         lvl_ref[t, :] = jnp.where(emit, rlevel, 0.0)
         dcy_ref[t, :] = jnp.where(emit, rdecay, 0.0)
 
-        return (
-            jnp.where(act, new_m, mode).astype(jnp.int32),
-            jnp.where(act, new_pos, pos).astype(jnp.int32),
-            jnp.where(act, new_qi, qi).astype(jnp.int32),
-            jnp.where(act, new_r0, r0).astype(jnp.int32),
-            jnp.where(act, new_r1, r1).astype(jnp.int32),
-            jnp.where(act, new_cor, corrupt).astype(jnp.int32),
-            consumed + act.astype(jnp.int32),
+        packed = (
+            jnp.clip(jnp.where(active, new_pos, pos), 0, 0x1FFF)
+            | (jnp.where(active, new_m, mode) << 13)
+            | (jnp.where(active, new_qi, qi) << 17)
+            | (jnp.where(active, new_r0 & 0xFF, r0) << 22)
+            | (jnp.where(active, new_cor, corrupt) << 30)
         )
+        return packed
 
-    init = (
-        jnp.full((LANES,), M_QUANT_START, jnp.int32),
-        jnp.zeros((LANES,), jnp.int32),
-        jnp.zeros((LANES,), jnp.int32),
-        jnp.zeros((LANES,), jnp.int32),
-        jnp.zeros((LANES,), jnp.int32),
-        jnp.zeros((LANES,), jnp.int32),
-        jnp.zeros((LANES,), jnp.int32),
-    )
-    mode, pos, qi, r0, r1, cor, consumed = lax.fori_loop(0, t_len, body, init)
-    meta_ref[0, :] = consumed
-    meta_ref[1, :] = cor | (mode != M_DONE).astype(jnp.int32)
+    init = jnp.full((LANES,), M_QUANT_START << 13, jnp.int32)
+    final = lax.fori_loop(0, t_len, body, init)
+    meta_ref[0, :] = final
 
 
 def fsm_kernel_call(wc, nybbles, p_tot: int, n: int, interpret: bool = False):
@@ -291,7 +292,11 @@ def fsm_kernel_call(wc, nybbles, p_tot: int, n: int, interpret: bool = False):
         out_specs=(vspec, vspec, vspec, vspec),
         interpret=interpret,
     )(jnp.broadcast_to(wc[None, :], (8, LANES)).astype(jnp.int32), nybbles)
-    return rec, lvl, dcy, meta[0], meta[1]
+    final = meta[0]
+    consumed = jnp.sum((rec >> 29) & 1, axis=0).astype(jnp.int32)
+    mode_f = (final >> 13) & 0xF
+    corrupt = ((final >> 30) & 1) | (mode_f != 14).astype(jnp.int32)
+    return rec & ((1 << 29) - 1), lvl, dcy, consumed, corrupt
 
 
 def _rng_kernel(flags_ref, seed_ref, sign_ref, seed_out_ref, *, p_tot: int):
