@@ -77,7 +77,7 @@ def _p1(nout_ref, coef_ref, aux_ref, s1_ref, s2_ref, qmin_sc, qmax_sc):
 # Phase 2: reverse backfill. Grid reversed; in-chunk loop also reversed.
 
 
-def _p2(nout_ref, coef_ref, aux_ref, s1_ref, s2in_ref, qev_ref, ncp_ref, st_sc):
+def _p2(nout_ref, coef_ref, aux_ref, s1_ref, s2in_ref, state_ref, st_sc):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -115,8 +115,12 @@ def _p2(nout_ref, coef_ref, aux_ref, s1_ref, s2in_ref, qev_ref, ncp_ref, st_sc):
         coded = kept & (jnp.abs(coef_ref[lp]) * scale >= 2.5)
         q_next = jnp.where(coded, cur_qi, q_next)
         ncp_new = jnp.where(coded, p, ncp)
-        ncp_ref[lp] = ncp_new
-        qev_ref[lp] = q_next | (coded.astype(jnp.int32) << 8)
+        # one packed output: ncp(14b) | q_ev(8b)<<14 | coded<<22
+        state_ref[lp] = (
+            jnp.clip(ncp_new, 0, (1 << 14) - 1)
+            | (q_next << 14)
+            | (coded.astype(jnp.int32) << 22)
+        )
         nk = jnp.where(kept, p, nk)
         nk_split = jnp.where(kept, split_p, nk_split)
         return nk, nk_split, cur_qi, q_next, ncp_new
@@ -132,7 +136,7 @@ def _p2(nout_ref, coef_ref, aux_ref, s1_ref, s2in_ref, qev_ref, ncp_ref, st_sc):
 # Phase 3: forward emission walk.
 
 
-def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, qev_ref, ncp_ref,
+def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, state_ref,
         bits_ref, slotpq_ref, slotlc_ref, nyb_ref, st_sc,
         *, slot_len: int, materialize: bool):
     j = pl.program_id(0)
@@ -154,10 +158,10 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, qev_ref, ncp_ref,
         aux = aux_ref[lp]
         segdelta = (aux >> 13) & 0x1FFF
         segstart = (aux >> 30) & 1
-        s2row = qev_ref[lp]
-        q_ev = s2row & 0xFF
-        coded = (s2row >> 8) & 1
-        ncp = ncp_ref[lp]
+        srow = state_ref[lp]
+        ncp = srow & 0x3FFF
+        q_ev = (srow >> 14) & 0xFF
+        coded = (srow >> 22) & 1
 
         prev_q = jnp.where(segstart == 1, jnp.int32(-1), prev_q)
         skip = p < covered
@@ -308,15 +312,12 @@ def encode_kernel_call2(nout, coef, amp, aux, p_tot: int, n_slots: int,
         interpret=interpret,
     )(nout, coef, aux)
 
-    qev, ncp = pl.pallas_call(
+    state = pl.pallas_call(
         _p2,
         grid=(n_chunks,),
         in_specs=[whole, rchunk_spec, rchunk_spec, rchunk_spec, rchunk_spec],
-        out_specs=(rchunk_spec, rchunk_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((p_tot, SUB, LAN), jnp.int32),
-            jax.ShapeDtypeStruct((p_tot, SUB, LAN), jnp.int32),
-        ),
+        out_specs=rchunk_spec,
+        out_shape=jax.ShapeDtypeStruct((p_tot, SUB, LAN), jnp.int32),
         scratch_shapes=[pltpu.VMEM((5, SUB, LAN), jnp.int32)],
         interpret=interpret,
     )(nout, coef, aux, s1, s2)
@@ -335,7 +336,7 @@ def encode_kernel_call2(nout, coef, amp, aux, p_tot: int, n_slots: int,
     bits, slotpq, slotlc, nyb = pl.pallas_call(
         kern3,
         grid=(n_chunks,),
-        in_specs=[whole] + [chunk_spec] * 6,
+        in_specs=[whole] + [chunk_spec] * 5,
         out_specs=(whole, nslot_spec, nslot_spec, nyb_spec),
         out_shape=(
             jax.ShapeDtypeStruct((SUB, LAN), jnp.int32),
@@ -345,5 +346,5 @@ def encode_kernel_call2(nout, coef, amp, aux, p_tot: int, n_slots: int,
         ),
         scratch_shapes=[pltpu.VMEM((4, SUB, LAN), jnp.int32)],
         interpret=interpret,
-    )(nout, coef, coefn, amp, aux, qev, ncp)
+    )(nout, coef, coefn, amp, aux, state)
     return bits, slotpq, slotlc, nyb
