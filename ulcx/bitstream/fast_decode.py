@@ -75,11 +75,10 @@ def decode_block_fast(windows, rng_state, cfg: CodecConfig, interpret=False):
     wc_l = jnp.concatenate([wc, jnp.full((pad,), 0x10, jnp.int32)]) if pad else wc
     wc_l = wc_l.reshape(g, pd.LANES)
 
-    def one(args):
-        wcg, tk = args
+    def one(wcg, tk):
         return pd.fsm_kernel_call(wcg, tk, p_tot, n, interpret)
 
-    rec, lvl, dcy, consumed, corrupt = lax.map(one, (wc_l, tok_l))
+    rec, lvl, dcy, consumed, corrupt = jax.vmap(one)(wc_l, tok_l)
     rec = _from_lanes(rec, b)
     lvl = _from_lanes(lvl, b)
     dcy = _from_lanes(dcy, b)
@@ -121,11 +120,10 @@ def decode_block_fast(windows, rng_state, cfg: CodecConfig, interpret=False):
         else rng_state
     ).reshape(g2, pd.LANES)
 
-    def one_rng(args):
-        fl, sd = args
+    def one_rng(fl, sd):
         return pd.rng_kernel_call(fl, sd, p_tot, interpret)
 
-    sign, new_seed = lax.map(one_rng, (flags_l, seed_l))
+    sign, new_seed = jax.vmap(one_rng)(flags_l, seed_l)
     sign = _from_lanes(sign, b)
     new_seed = new_seed.reshape(-1)[:b]
 
