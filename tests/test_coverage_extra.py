@@ -1,0 +1,55 @@
+"""Extra envelope coverage: odd channel counts, large-P fallback path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ulcx.codec.decoder import decode_stream
+from ulcx.codec.encoder import encode_stream, max_block_bytes
+from ulcx.utils.config import CodecConfig
+
+
+def _roundtrip(cfg, rng, t=4, kbps=220.0):
+    n, c = cfg.block_size, cfg.n_chan
+    tt = np.arange(t * n) / cfg.rate_hz
+    base = 0.4 * np.sin(2 * np.pi * 700 * tt).astype(np.float32)
+    x = np.stack([base * (0.5 + 0.2 * k) for k in range(c)], axis=0)
+    blocks = jnp.asarray(x.reshape(c, t, n).transpose(1, 0, 2))
+    out, _ = jax.jit(lambda b: encode_stream(b, cfg, "cbr", rate_kbps=kbps))(blocks)
+    sizes = np.asarray(out.size_bits)
+    datas = np.asarray(out.data)
+    stream = b"".join(datas[i, : sizes[i] // 8].tobytes() for i in range(t))
+    pad = np.zeros(max_block_bytes(cfg) + 8, np.uint8)
+    sj = jnp.asarray(np.concatenate([np.frombuffer(stream, np.uint8), pad]))
+    pcm, bits, corrupt, _ = jax.jit(
+        lambda s: decode_stream(s, t, max_block_bytes(cfg), cfg)
+    )(sj)
+    assert not np.asarray(corrupt).any()
+    got = np.asarray(pcm).transpose(1, 0, 2).reshape(c, t * n)
+    # decoded block t covers input block t-1
+    seg = slice(n, (t - 2) * n)
+    want = x[:, seg]
+    err = got[:, n:][:, seg] - want
+    snr = 10 * np.log10((want**2).mean() / max((err**2).mean(), 1e-12))
+    return snr
+
+
+def test_three_channels_odd_ms(rng):
+    """Odd channel count: pair 0/1 gets M/S, channel 2 passes through
+    (reference ulcEncoder_BlockTransform.c:102, ulcDecoder.c:281)."""
+    cfg = CodecConfig(rate_hz=44100, n_chan=3, block_size=256)
+    assert _roundtrip(cfg, rng, kbps=330.0) > 8.0
+
+
+def test_five_channels(rng):
+    cfg = CodecConfig(rate_hz=32000, n_chan=5, block_size=256)
+    assert _roundtrip(cfg, rng, kbps=550.0) > 8.0
+
+
+def test_large_p_scan_fallback(rng):
+    """P = n_chan*block_size > 4096 must route around the kernels."""
+    from ulcx.codec.encoder import _use_kernel
+
+    cfg = CodecConfig(rate_hz=44100, n_chan=2, block_size=4096)
+    assert not _use_kernel(cfg, 8)
+    assert _roundtrip(cfg, rng, t=4, kbps=128.0) > 5.0
