@@ -14,4 +14,4 @@ def test_dryrun_multichip_8():
 def test_entry_compiles():
     fn, args = entry()
     data, size, carry = jax.jit(fn)(*args)
-    assert int(size) > 0
+    assert (np.asarray(size) > 0).all()
