@@ -82,19 +82,6 @@ def _psy_noise_batched(mdct, mdst, window_ctrl, cfg: CodecConfig):
     return mask_coef, noise
 
 
-_MASK_MAP_CACHE = {}
-
-
-def _mask_map_table(n):
-    if n not in _MASK_MAP_CACHE:
-        from ulcx.analysis.block import _mask_index_map
-
-        _MASK_MAP_CACHE[n] = np.stack(
-            [_mask_index_map(pat or 1, n) for pat in range(16)]
-        )
-    return _MASK_MAP_CACHE[n]
-
-
 def analyze_block_batched(carry: EncoderCarry, new_blocks: jnp.ndarray, cfg: CodecConfig):
     """Batched analyze: carry pytree with leading [B], new_blocks [B, C, N]."""
     from ulcx.analysis.block import ms_transform
