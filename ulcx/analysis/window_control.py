@@ -31,7 +31,7 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-from ulcx.ops.scanutil import ema
+from ulcx.ops.scanutil import ema, ema_matmul
 from ulcx.utils.config import CodecConfig
 
 _RATE_HP_FWD = float.fromhex("0x1.CC845Cp6")   # -1.0 dB/ms
@@ -73,17 +73,17 @@ def _transient_filtering(samples: jnp.ndarray, st: TransientState, cfg: CodecCon
     bp = jnp.sum((-t0 + t2) ** 2, axis=-2)
 
     # forward smear (amplitude domain)
-    r_hp = jnp.float32(math.exp(-_RATE_HP_FWD / rate_hz))
-    r_bp = jnp.float32(math.exp(-_RATE_BP_FWD / rate_hz))
-    env_hp = ema(jnp.sqrt(hp), r_hp, st.env_hp)
-    env_bp = ema(jnp.sqrt(bp), r_bp, st.env_bp)
+    r_hp = math.exp(-_RATE_HP_FWD / rate_hz)
+    r_bp = math.exp(-_RATE_BP_FWD / rate_hz)
+    env_hp = ema_matmul(jnp.sqrt(hp), r_hp, st.env_hp)
+    env_bp = ema_matmul(jnp.sqrt(bp), r_bp, st.env_bp)
 
     # backward smear; d uses the pre-update envelope, the cross products
     # use the post-update one (reference :96-104)
-    rb_hp = jnp.float32(math.exp(-_RATE_HP_BWD / rate_hz))
-    rb_bp = jnp.float32(math.exp(-_RATE_BP_BWD / rate_hz))
-    pre_hp = ema(env_hp, rb_hp, env_hp[..., -1], reverse=True)
-    pre_bp = ema(env_bp, rb_bp, env_bp[..., -1], reverse=True)
+    rb_hp = math.exp(-_RATE_HP_BWD / rate_hz)
+    rb_bp = math.exp(-_RATE_BP_BWD / rate_hz)
+    pre_hp = ema_matmul(env_hp, rb_hp, env_hp[..., -1], reverse=True)
+    pre_bp = ema_matmul(env_bp, rb_bp, env_bp[..., -1], reverse=True)
     # pre-update env at n == post-update env at n+1 (scanning right->left)
     before_hp = jnp.concatenate([pre_hp[..., 1:], env_hp[..., -1:]], axis=-1)
     before_bp = jnp.concatenate([pre_bp[..., 1:], env_bp[..., -1:]], axis=-1)
@@ -92,8 +92,8 @@ def _transient_filtering(samples: jnp.ndarray, st: TransientState, cfg: CodecCon
     err = (d_hp * pre_bp) ** 2 + (d_bp * pre_hp) ** 2
 
     # segment integration with the block-mask EMA
-    r_blk = jnp.float32(math.exp(-_RATE_BLOCK * cfg.block_size / rate_hz))
-    em = ema(err, r_blk, st.env_block)
+    r_blk = math.exp(-_RATE_BLOCK * cfg.block_size / rate_hz)
+    em = ema_matmul(err, r_blk, st.env_block)
     seg_new = jnp.sum(em.reshape(8, n // 8), axis=-1)
 
     return TransientState(

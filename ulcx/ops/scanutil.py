@@ -10,8 +10,49 @@ vectorized) instead of a sample loop.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
+
+
+@lru_cache(maxsize=64)
+def _ema_matrix(length: int, rate: float) -> np.ndarray:
+    """Lower-triangular Toeplitz kernel of the EMA as a linear filter:
+    L[i, j] = (1-r) * r^(i-j) for j <= i (float64 powers, f32 cast)."""
+    i = np.arange(length)
+    d = i[:, None] - i[None, :]
+    with np.errstate(over="ignore", under="ignore"):
+        mat = (1.0 - rate) * np.power(float(rate), np.maximum(d, 0).astype(np.float64))
+    mat = np.where(d >= 0, mat, 0.0)
+    return mat.astype(np.float32)
+
+
+@lru_cache(maxsize=64)
+def _ema_init_weights(length: int, rate: float) -> np.ndarray:
+    return np.power(float(rate), np.arange(1, length + 1, dtype=np.float64)).astype(
+        np.float32
+    )
+
+
+def ema_matmul(v: jnp.ndarray, rate: float, init, reverse: bool = False):
+    """EMA along the last axis as one MXU matmul (static python rate).
+
+    ~100x cheaper than the associative scan on TPU for the codec's
+    block lengths; float association differs from the sequential form
+    by O(eps) only (the kernel is a convergent geometric series).
+    """
+    n = v.shape[-1]
+    if reverse:
+        v = v[..., ::-1]
+    mat = jnp.asarray(_ema_matrix(n, float(rate)))
+    out = jnp.matmul(v, mat.T, precision=lax.Precision.HIGHEST)
+    init = jnp.asarray(init, v.dtype)
+    out = out + init[..., None] * jnp.asarray(_ema_init_weights(n, float(rate)))
+    if reverse:
+        out = out[..., ::-1]
+    return out
 
 
 def ema(v: jnp.ndarray, rate, init, axis: int = -1, reverse: bool = False):
