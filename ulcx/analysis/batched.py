@@ -62,20 +62,19 @@ def _psy_noise_batched(mdct, mdst, window_ctrl, cfg: CodecConfig):
     if cfg.use_psychoacoustics:
         # per-coefficient masking: within a class, coef k maps to line
         # k//2 of that class's layout — a 2x repeat, then a 4-way class
-        # select (no large gathers)
-        mask_coef = jnp.take_along_axis(
-            jnp.stack([jnp.repeat(m, 2, axis=-1) for m in mask_cls], axis=-1),
-            jnp.broadcast_to(cls_coef[..., None], (b, n, 1)),
-            axis=-1,
-        )[..., 0]
+        # select as a where-chain (gathers are slow on TPU; 3 selects
+        # beat a [B, N, 4] stack + take_along_axis)
+        mask_coef = jnp.repeat(mask_cls[0], 2, axis=-1)
+        for k in range(1, 4):
+            mask_coef = jnp.where(
+                cls_coef == k, jnp.repeat(mask_cls[k], 2, axis=-1), mask_coef
+            )
     else:
         mask_coef = jnp.zeros((b, n), jnp.float32)
     if cfg.use_noise_coding:
-        noise = jnp.take_along_axis(
-            jnp.stack(noise_cls, axis=-1),
-            jnp.broadcast_to(cls_coef[:, None, :, None], (b, c, n, 1)),
-            axis=-1,
-        )[..., 0]
+        noise = noise_cls[0]
+        for k in range(1, 4):
+            noise = jnp.where(cls_coef[:, None, :] == k, noise_cls[k], noise)
     else:
         noise = jnp.zeros_like(mdct)
 

@@ -76,88 +76,114 @@ class FastBlockData(NamedTuple):
     n_header: jnp.ndarray    # [B]
 
 
+@lru_cache(maxsize=32)
+def _prep_tables(block_size: int, n_chan: int):
+    """Static per-pattern tables for the line-domain prepare pass.
+
+    Returns (segdelta [16, P] f32, is_start [16, P] f32,
+    end_line [16, L] f32, sel [16*G, L] f32) where L = P/2 lines and
+    G = 8*n_chan slots on the N/16-line grid. All values are small
+    integers, exactly representable in f32, so per-stream selection
+    becomes a one-hot-matmul (MXU) instead of a gather (slow on TPU).
+    sel[k*G+g, l] = 1 iff pattern k's line l has its segment end at
+    grid slot g — used to pick segment-end cumsum values.
+    """
+    n, c = block_size, n_chan
+    p_tot = n * c
+    nl = p_tot // 2
+    n_grid = 8 * c
+    grid_step = (n // 8) // 2
+    starts, ends, _ = segment_tables(n, c)
+    idxp = np.arange(p_tot)
+    segdelta = np.clip(ends - idxp, 0, 0x1FFF).astype(np.float32)
+    is_start = (idxp == starts).astype(np.float32)
+    end_line = (ends[:, 0::2] // 2).astype(np.int32)  # [16, L]
+    end_slot = end_line // grid_step - 1  # [16, L] in [0, G)
+    sel = np.zeros((16, n_grid, nl), np.float32)
+    sel[
+        np.arange(16)[:, None], end_slot, np.arange(nl)[None, :]
+    ] = 1.0
+    return (
+        segdelta,
+        is_start,
+        end_line.astype(np.float32),
+        sel.reshape(16 * n_grid, nl),
+    )
+
+
 def prepare_fast(blk: AnalyzedBlock, cfg: CodecConfig) -> FastBlockData:
-    """Batched prep: blk fields have leading [B]."""
+    """Batched prep: blk fields have leading [B].
+
+    Runs entirely in the pseudo-DFT *line* domain (L = P/2): every
+    noise/HF quantity is constant within a coefficient pair (window
+    ends are (n+(p&1)+1)>>1 = identical for both parities, segment
+    bounds are even), so computing per line and expanding by a 2x
+    repeat at the end halves the traffic. All per-pattern selection
+    (segment ends, slot grid) is one-hot [B,16] matmuls against static
+    tables — no gathers, no per-slot where-chains.
+    """
     n, c = cfg.block_size, cfg.n_chan
     p_tot = n * c
+    nl = p_tot // 2
+    n_grid = 8 * c
+    grid_step = (n // 8) // 2
     b = blk.mdct.shape[0]
-    starts_t, ends_t, _ = segment_tables(n, c)
+    segdelta_t, isstart_t, endline_t, sel_t = _prep_tables(n, c)
+
     pat = blk.window_ctrl >> 4
-    seg_start = jnp.asarray(starts_t)[pat]  # [B, P]
-    seg_end = jnp.asarray(ends_t)[pat]
+    oh = (pat[:, None] == jnp.arange(16)).astype(jnp.float32)  # [B, 16]
+    hi = jax.lax.Precision.HIGHEST
 
     coef = blk.mdct.reshape(b, p_tot)
     noise = blk.noise.reshape(b, p_tot)
     w = noise[:, 0::2]
     wy = noise[:, 1::2]
-    g = jnp.arange(p_tot // 2, dtype=jnp.float32)
+    g = jnp.arange(nl, dtype=jnp.float32)
 
-    def psum(x):
-        z = jnp.zeros((b, 1), jnp.float32)
-        return jnp.concatenate([z, jnp.cumsum(x, axis=-1)], axis=-1)
+    # 5 prefix sums in one shot: {w, w*y, w*g, w*g^2, w*y*g}
+    stacked = jnp.stack([w, wy, w * g, w * g * g, wy * g], axis=1)
+    cs = jnp.concatenate(
+        [jnp.zeros((b, 5, 1), jnp.float32), jnp.cumsum(stacked, axis=-1)],
+        axis=-1,
+    )  # [B, 5, L+1]
 
-    cw, cwy = psum(w), psum(wy)
-    cwg, cwg2, cwyg = psum(w * g), psum(w * g * g), psum(wy * g)
+    # segment-end cumsum values: grid slot values (strided slice) are
+    # selected per line via sel (exactly one nonzero term per output,
+    # so the f32 matmul is exact)
+    gv = cs[:, :, grid_step :: grid_step][:, :, :n_grid]  # [B, 5, G]
+    y = (oh[:, None, :, None] * gv[:, :, None, :]).reshape(b, 5, 16 * n_grid)
+    seg_vals = jnp.matmul(y, jnp.asarray(sel_t), precision=hi)  # [B, 5, L]
 
-    idx = jnp.arange(p_tot)
-    a_line = idx >> 1
+    end_line = jnp.matmul(oh, jnp.asarray(endline_t), precision=hi)  # [B, L]
+    cw_a, cwy_a = cs[:, 0, :nl], cs[:, 1, :nl]
+    cw_end, cwy_end = seg_vals[:, 0], seg_vals[:, 1]
 
-    # Gather-free windowed sums. Window ends are min(line + 264,
-    # segment_end_line) for the noise amplitude and exactly
-    # segment_end_line for the HF fit (both from the (n+(p&1)+1)>>1
-    # pseudo-DFT fixup algebra, segment sizes being even). The min is
-    # resolved on *indices* (an index comparison selecting between a
-    # statically-shifted slice and the segment-end value); segment-end
-    # cumsum values live on the static N/16 line grid, selected per
-    # position through a per-pattern slot table.
-    grid_step = (n // 8) // 2  # lines per slot
-    n_grid = p_tot // 2 // grid_step  # 8 * n_chan
-    grid_pos = np.arange(1, n_grid + 1) * grid_step
+    # noise amplitude window = min(line + 264, segment end): resolved
+    # on indices; the +264 branch is a static shifted slice
+    in_window = (g + 264.0) < end_line
 
-    @lru_cache(maxsize=32)
-    def _endslot_table(block_size, n_chan):
-        # [16, P] slot-grid index (0-based) of each position's segment end
-        _, ends, _ = segment_tables(block_size, n_chan)
-        return ((ends // 2) // grid_step - 1).astype(np.int32)
+    take = max(0, nl + 1 - 264)  # lines where l+264 is in range
 
-    end_slot = jnp.asarray(_endslot_table(n, c))[pat]  # [B, P] in [0, n_grid)
-
-    def at_segend(cs):
-        grid_vals = cs[:, grid_pos]  # [B, n_grid] static slice
-        out = grid_vals[:, 0:1]
-        for gidx in range(1, n_grid):
-            out = jnp.where(end_slot == gidx, grid_vals[:, gidx : gidx + 1], out)
-        return out
-
-    def shifted(cs, delta):
-        # cs[(p>>1) + delta] as a static padded slice, indexed by a_line
-        padded = jnp.concatenate(
-            [cs, jnp.broadcast_to(cs[:, -1:], (b, delta))], axis=-1
+    def shifted(j):
+        return jnp.concatenate(
+            [cs[:, j, 264:], jnp.broadcast_to(cs[:, j, -1:], (b, nl - take))],
+            axis=-1,
         )
-        return padded[:, delta : delta + p_tot // 2][:, a_line]
 
-    cw_a = cw[:, : p_tot // 2][:, a_line]
-    cwy_a = cwy[:, : p_tot // 2][:, a_line]
-    cw_end = at_segend(cw)
-    cwy_end = at_segend(cwy)
-
-    seg_end_line = seg_end >> 1  # [B, P]
-    in_window = (a_line[None, :] + 264) < seg_end_line
-    s_w = jnp.where(in_window, shifted(cw, 264), cw_end) - cw_a
-    s_wy = jnp.where(in_window, shifted(cwy, 264), cwy_end) - cwy_a
+    s_w = jnp.where(in_window, shifted(0), cw_end) - cw_a
+    s_wy = jnp.where(in_window, shifted(1), cwy_end) - cwy_a
     amp = jnp.exp(s_wy / jnp.where(s_w > 0, s_w, 1.0))
     # amp is candidate-independent; the (candidate-dependent) zone
     # quantizer is folded in inside the kernel: nq = cq(amp * 2^q_ev)
-    amp_noise = jnp.where(s_wy != 0.0, amp, 0.0)
+    amp_noise_l = jnp.where(s_wy != 0.0, amp, 0.0)
 
     # HF-extension least-squares (candidate independent; window = tail)
-    af = a_line.astype(jnp.float32)
-    tk = lambda cs, ca: at_segend(cs) - ca
-    sw = tk(cw, cw_a)
-    swy = tk(cwy, cwy_a)
-    swg = tk(cwg, cwg[:, : p_tot // 2][:, a_line])
-    swg2 = tk(cwg2, cwg2[:, : p_tot // 2][:, a_line])
-    swyg = tk(cwyg, cwyg[:, : p_tot // 2][:, a_line])
+    af = g
+    sw = cw_end - cw_a
+    swy = cwy_end - cwy_a
+    swg = seg_vals[:, 2] - cs[:, 2, :nl]
+    swg2 = seg_vals[:, 3] - cs[:, 3, :nl]
+    swyg = seg_vals[:, 4] - cs[:, 4, :nl]
     sx = 2.0 * (swg - af * sw)
     sx2 = 4.0 * (swg2 - 2.0 * af * swg + af * af * sw)
     sxy = 2.0 * (swyg - af * swy)
@@ -166,14 +192,25 @@ def prepare_fast(blk: AnalyzedBlock, cfg: CodecConfig) -> FastBlockData:
     det_s = jnp.where(solvable, det, 1.0)
     amp_log = (sx2 * swy - sx * sxy) / det_s
     dec_log = (sw * sxy - sx * swy) / det_s
-    amp_lin = jnp.exp(amp_log)
+    amp_lin_l = jnp.exp(amp_log)
     dec_lin = jnp.where(dec_log < 0, jnp.exp(dec_log), 1.0)
     dec_raw = _cq_unsigned((dec_lin - 1.0) * np.float32(-(2.0**19)))
-    hf_ok = solvable & (dec_raw > 0)
-    dec_q = jnp.minimum(dec_raw, 255)
+    hf_ok_l = solvable & (dec_raw > 0)
+    dec_q_l = jnp.minimum(dec_raw, 255)
 
-    is_seg_start = (idx[None, :] == seg_start).astype(jnp.int32)
-    segdelta = jnp.clip(seg_end - idx, 0, 0x1FFF)
+    # expand line -> position (values repeat within each pair)
+    rep = lambda x: jnp.repeat(x, 2, axis=-1)
+    amp_noise = rep(amp_noise_l)
+    amp_lin = rep(amp_lin_l)
+    hf_ok = rep(hf_ok_l)
+    dec_q = rep(dec_q_l)
+
+    segdelta = jnp.matmul(oh, jnp.asarray(segdelta_t), precision=hi).astype(
+        jnp.int32
+    )
+    is_seg_start = jnp.matmul(oh, jnp.asarray(isstart_t), precision=hi).astype(
+        jnp.int32
+    )
     rank = jnp.clip(blk.rank.reshape(b, p_tot), 0, 0x1FFF)
     aux = rank | (segdelta << 13) | (is_seg_start << 30)
 
