@@ -1,11 +1,20 @@
-"""Benchmark: batched 44.1 kHz stereo CBR-128 encode throughput per chip.
+"""Benchmark: batched 44.1 kHz stereo CBR-128 encode + decode throughput per chip.
 
-Prints ONE JSON line:
+Prints one JSON line per metric (encode last — the headline number):
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
-vs_baseline is against the 2000x-realtime-per-chip target (BASELINE.md).
+vs_baseline for encode is against the 2000x-realtime-per-chip target
+(BASELINE.md); decode has no published baseline (reference decode is
+"GBA-cheap", tools/ulcDecodeTool.c:140-150 prints a realtime factor) so
+its vs_baseline is also vs 2000x for symmetry.
+
+The corpus is heterogeneous and transient-heavy (BASELINE.md benchmark
+config list): per-stream random tone stacks + AM + noise floor, with
+clicks/onsets injected in ~40% of streams so window switching exercises
+varied decimation patterns.
 
 Env knobs: ULCX_BENCH_B (streams), ULCX_BENCH_T (blocks/stream),
-ULCX_BENCH_MODE (cbr|vbr), ULCX_BENCH_BS (block size).
+ULCX_BENCH_MODE (cbr|abr|vbr), ULCX_BENCH_BS (block size),
+ULCX_BENCH_DECODE (0 to skip the decode metric).
 """
 
 from __future__ import annotations
@@ -17,32 +26,60 @@ import time
 import numpy as np
 
 
+def make_corpus(b: int, t: int, n: int, rate_hz: float = 44100.0) -> np.ndarray:
+    """[B, T, 2, N] heterogeneous stereo test signals."""
+    rng = np.random.default_rng(7)
+    total = t * n
+    tt = np.arange(total, dtype=np.float64) / rate_hz
+
+    # per-stream tone stack: 3 tones, random freqs/amps/phases, stereo
+    # decorrelation via per-channel phase offsets
+    f = rng.uniform(60.0, 9000.0, (b, 3, 1, 1))
+    a = rng.uniform(0.02, 0.3, (b, 3, 1, 1)) * (0.5 ** np.arange(3)[None, :, None, None])
+    ph = rng.uniform(0, 2 * np.pi, (b, 3, 2, 1))
+    x = np.sum(a * np.sin(2 * np.pi * f * tt[None, None, None, :] + ph), axis=1)
+
+    # slow AM envelope (per stream) + low noise floor
+    fm = rng.uniform(0.3, 4.0, (b, 1, 1))
+    x *= 0.6 + 0.4 * np.sin(2 * np.pi * fm * tt[None, None, :])
+    x += 0.01 * rng.standard_normal((b, 2, total))
+
+    # transient clicks/onsets in ~40% of streams: exponentially decaying
+    # bursts at random positions (what drives window switching)
+    n_trans = int(0.4 * b)
+    idx = rng.choice(b, n_trans, replace=False)
+    for i in idx:
+        for _ in range(rng.integers(1, 4)):
+            pos = int(rng.integers(0, total - n))
+            dur = int(rng.integers(n // 16, n // 2))
+            burst = rng.standard_normal(dur) * np.exp(
+                -np.arange(dur) / (0.12 * dur)
+            )
+            x[i, :, pos : pos + dur] += 0.5 * burst[None, :]
+
+    x = np.clip(x, -1.0, 1.0).astype(np.float32)
+    return np.ascontiguousarray(x.reshape(b, 2, t, n).transpose(0, 2, 1, 3))
+
+
 def main():
     import jax
     import jax.numpy as jnp
-    from ulcx.parallel.mesh import batch_encode
+    from ulcx.parallel.mesh import batch_decode, batch_encode
+    from ulcx.codec.encoder import max_block_bytes
     from ulcx.utils.config import CodecConfig
 
     b = int(os.environ.get("ULCX_BENCH_B", "512"))
     t = int(os.environ.get("ULCX_BENCH_T", "8"))
     n = int(os.environ.get("ULCX_BENCH_BS", "2048"))
     mode = os.environ.get("ULCX_BENCH_MODE", "cbr")
+    do_decode = os.environ.get("ULCX_BENCH_DECODE", "1") != "0"
     kw = {"rate_kbps": 128.0} if mode in ("cbr", "abr") else {"quality": 50.0}
     if mode == "abr":
         kw["avg_complexity"] = 0.5
     cfg = CodecConfig(rate_hz=44100, n_chan=2, block_size=n)
 
-    rng = np.random.default_rng(7)
-    tt = np.arange(t * n) / 44100.0
-    base = (
-        0.35 * np.sin(2 * np.pi * 440 * tt)
-        + 0.1 * np.sin(2 * np.pi * 1870 * tt)
-        + 0.02 * rng.standard_normal(t * n)
-    ).astype(np.float32)
-    blocks = np.broadcast_to(
-        base.reshape(1, t, 1, n), (b, t, 2, n)
-    ) * rng.uniform(0.5, 1.0, (b, 1, 1, 1)).astype(np.float32)
-    blocks = jnp.asarray(np.ascontiguousarray(blocks))
+    blocks = jnp.asarray(make_corpus(b, t, n))
+    audio_seconds = b * t * n / 44100.0
 
     fn = jax.jit(lambda x: batch_encode(x, cfg, mode, **kw))
     out, stats = fn(blocks)
@@ -59,16 +96,52 @@ def main():
         np.asarray(out.size_bits)
         np.asarray(out.data[0, 0])
         best = min(best, time.perf_counter() - t0)
+    enc_rtf = audio_seconds / best
 
-    audio_seconds = b * t * n / 44100.0
-    rtf = audio_seconds / best
+    if do_decode:
+        # assemble contiguous byte streams on the host (container framing
+        # is host-side file I/O in the tools too), then time batch decode
+        sizes = np.asarray(out.size_bits)
+        datas = np.asarray(out.data)
+        win = max_block_bytes(cfg)
+        streams = np.zeros((b, t * win + win + 64), np.uint8)
+        for i in range(b):
+            offs = 0
+            for j in range(t):
+                nb = int(sizes[i, j]) // 8
+                streams[i, offs : offs + nb] = datas[i, j, :nb]
+                offs += nb
+        streams = jnp.asarray(streams)
+        dec = jax.jit(lambda s: batch_decode(s, t, win, cfg))
+        pcm, bits, corrupt = dec(streams)
+        np.asarray(pcm[0, 0])
+        assert not np.asarray(corrupt).any(), "decode flagged corrupt streams"
+        best_d = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            pcm, bits, corrupt = dec(streams)
+            np.asarray(pcm[0, 0])
+            np.asarray(bits)
+            best_d = min(best_d, time.perf_counter() - t0)
+        dec_rtf = audio_seconds / best_d
+        print(
+            json.dumps(
+                {
+                    "metric": "decode_realtime_factor_per_chip_stereo44k_cbr128",
+                    "value": round(dec_rtf, 2),
+                    "unit": "x_realtime",
+                    "vs_baseline": round(dec_rtf / 2000.0, 4),
+                }
+            )
+        )
+
     print(
         json.dumps(
             {
                 "metric": "encode_realtime_factor_per_chip_stereo44k_cbr128",
-                "value": round(rtf, 2),
+                "value": round(enc_rtf, 2),
                 "unit": "x_realtime",
-                "vs_baseline": round(rtf / 2000.0, 4),
+                "vs_baseline": round(enc_rtf / 2000.0, 4),
             }
         )
     )

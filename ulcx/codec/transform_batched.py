@@ -23,6 +23,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ulcx.ops.dct import dct4_matmul, dct4_fft, dst4_matmul, dst4_fft
@@ -202,10 +203,21 @@ def block_mdct_mdst_batched(samples, window_ctrl, prev_last_ss, next_overlap, cf
         outs_s.append(ms.reshape(b, c, n))
         k += npos
 
-    cls_map = jnp.asarray(t["cls_coef"])[window_ctrl >> 4]  # [B, N]
-    sel = jnp.broadcast_to(cls_map[:, None, :, None], (b, c, n, 1))
-    mdct = jnp.take_along_axis(jnp.stack(outs_c, axis=-1), sel, axis=-1)[..., 0]
-    mdst = jnp.take_along_axis(jnp.stack(outs_s, axis=-1), sel, axis=-1)[..., 0]
+    # per-coefficient class select: one-hot [B,16] matmul against the
+    # static class map (values 0..3, exact in f32) + a 3-where chain.
+    # Row gathers and [B,C,N,4] take_along_axis are catastrophically
+    # slow on this backend (NOTES.md).
+    pat = window_ctrl >> 4
+    oh = (pat[:, None] == jnp.arange(16)).astype(jnp.float32)
+    cls_map = jnp.matmul(
+        oh, jnp.asarray(t["cls_coef"], np.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)[:, None, :]  # [B, 1, N]
+    mdct, mdst = outs_c[0], outs_s[0]
+    for k in range(1, N_CLASSES):
+        sel_k = cls_map == k
+        mdct = jnp.where(sel_k, outs_c[k], mdct)
+        mdst = jnp.where(sel_k, outs_s[k], mdst)
     return mdct, mdst
 
 
