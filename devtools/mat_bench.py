@@ -1,0 +1,141 @@
+"""Bisect the materialize/assemble block (same full-bench methodology).
+
+Variants (all: analysis + prepare + one uniform-nout materialize round):
+  matk  — materialize kernel only (sum of nyb words)
+  tail  — + tail_info
+  asm   — + _assemble (= materialize_fast)
+  smat  — full search_materialize_fast (2 rounds + fused final round
+          with 16-way sel) for comparison
+  s3mat — 3-round rate_search_fast + uniform materialize_fast
+          (sel-free alternative to smat)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ulcx.analysis.batched import analyze_block_batched
+    from ulcx.bitstream import pallas_encode as pe
+    from ulcx.bitstream.fast_encode import (
+        _assemble,
+        kernel_sizes,
+        materialize_fast,
+        prepare_fast,
+        rate_search_fast,
+        search_materialize_fast,
+        tail_info,
+    )
+    from ulcx.codec.encoder import init_carry_batched, max_block_bytes
+    from ulcx.utils.config import CodecConfig
+
+    b = int(os.environ.get("ULCX_BENCH_B", "512"))
+    t = int(os.environ.get("ULCX_BENCH_T", "8"))
+    n = int(os.environ.get("ULCX_BENCH_BS", "2048"))
+    cfg = CodecConfig(rate_hz=44100, n_chan=2, block_size=n)
+
+    rng = np.random.default_rng(7)
+    tt = np.arange(t * n) / 44100.0
+    base = (
+        0.35 * np.sin(2 * np.pi * 440 * tt)
+        + 0.1 * np.sin(2 * np.pi * 1870 * tt)
+        + 0.02 * rng.standard_normal(t * n)
+    ).astype(np.float32)
+    blocks = np.broadcast_to(
+        base.reshape(1, t, 1, n), (b, t, 2, n)
+    ) * rng.uniform(0.5, 1.0, (b, 1, 1, 1)).astype(np.float32)
+    blocks = jnp.asarray(np.ascontiguousarray(blocks))
+
+    budget = jnp.full((b,), int(n * 128.0 * 1000.0 / 44100.0), jnp.int32)
+    mb = max_block_bytes(cfg)
+
+    def scan_over(step):
+        def fn(x):
+            carry = init_carry_batched(cfg, b)
+            carry, out = lax.scan(step, carry, x.transpose(1, 0, 2, 3))
+            return out
+
+        return jax.jit(fn)
+
+    def prep(c, blk_t):
+        c, ab = analyze_block_batched(c, blk_t, cfg)
+        fb = prepare_fast(ab, cfg)
+        n_out = ab.n_nz // 4
+        return c, fb, n_out
+
+    def step_matk(c, blk_t):
+        c, fb, n_out = prep(c, blk_t)
+        nout16 = jnp.broadcast_to(n_out[:, None], (b, pe.N_CAND))
+        bits, slotpq, slotlc, nyb = kernel_sizes(fb, nout16, cfg, True)
+        return c, (jnp.sum(bits), jnp.sum(nyb[:, 0]), jnp.sum(slotpq))
+
+    def step_tail(c, blk_t):
+        c, fb, n_out = prep(c, blk_t)
+        nout16 = jnp.broadcast_to(n_out[:, None], (b, pe.N_CAND))
+        bits, slotpq, slotlc, nyb = kernel_sizes(fb, nout16, cfg, True)
+        tt_, t_pos, t_nyb, t_val = tail_info(fb, slotpq, slotlc, cfg)
+        return c, (jnp.sum(bits), jnp.sum(nyb[:, 0]), jnp.sum(t_nyb))
+
+    def step_asm(c, blk_t):
+        c, fb, n_out = prep(c, blk_t)
+        size, by = materialize_fast(fb, n_out, cfg, mb)
+        return c, (jnp.sum(size), jnp.sum(by[:, :64].astype(jnp.int32)))
+
+    def step_smat(c, blk_t):
+        c, ab = analyze_block_batched(c, blk_t, cfg)
+        fb = prepare_fast(ab, cfg)
+        n_out, size, by = search_materialize_fast(fb, ab.n_nz, budget, cfg, mb)
+        return c, (jnp.sum(size), jnp.sum(by[:, :64].astype(jnp.int32)))
+
+    def step_s3mat(c, blk_t):
+        c, ab = analyze_block_batched(c, blk_t, cfg)
+        fb = prepare_fast(ab, cfg)
+        n_out = rate_search_fast(fb, ab.n_nz, budget, cfg)
+        size, by = materialize_fast(fb, n_out, cfg, mb)
+        return c, (jnp.sum(size), jnp.sum(by[:, :64].astype(jnp.int32)))
+
+    steps = {
+        "matk": step_matk,
+        "tail": step_tail,
+        "asm": step_asm,
+        "smat": step_smat,
+        "s3mat": step_s3mat,
+    }
+    want = sys.argv[1:] or list(steps)
+    audio = b * t * n / 44100.0
+    results = {}
+    for name in want:
+        fn = scan_over(steps[name])
+        t0 = time.perf_counter()
+        out = fn(blocks)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(blocks)
+            for leaf in jax.tree_util.tree_leaves(out):
+                np.asarray(leaf)
+            best = min(best, time.perf_counter() - t0)
+        results[name] = best
+        print(
+            f"{name:6s} {best*1000:8.1f} ms  ({audio/best:7.1f}x rt)"
+            f"  [compile {compile_s:.0f}s]",
+            flush=True,
+        )
+    names = [k for k in steps if k in results]
+    for a, bnm in zip(names, names[1:]):
+        print(f"delta {a}->{bnm}: {(results[bnm]-results[a])*1000:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Measure ulcx-vs-oracle deviation across configs (CPU).
+
+Prints size delta, RMS(ulcx-oracle), and round-trip SNRs of both
+stacks vs the (1-block-delayed) input. Used to calibrate the
+test_oracle_quality thresholds and PARITY.md numbers.
+"""
+
+import sys
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import oracle
+from test_oracle_quality import _material, _encode_ulcx, _decode_ulcx
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+from ulcx.utils.config import CodecConfig
+
+
+def run(n, c, mode, t=4, transients=True, **kw):
+    blocks = _material(n, t, c, transients=transients)
+    cfg = CodecConfig(rate_hz=44100, n_chan=c, block_size=n, noise_run_window="gap")
+    su, du = _encode_ulcx(blocks, cfg, mode, **kw)
+    pu = _decode_ulcx(su, du, t, cfg)
+    enc = oracle.OracleEncoder(44100, c, n)
+    so, do = [], []
+    for bb in blocks:
+        if mode == "cbr":
+            s, d = enc.encode_block_cbr(bb, kw["rate_kbps"])
+        elif mode == "abr":
+            s, d = enc.encode_block_abr(bb, kw["rate_kbps"], kw["avg_complexity"])
+        else:
+            s, d = enc.encode_block_vbr(bb, kw["quality"])
+        so.append(s)
+        do.append(d)
+    po = oracle.decode_stream(b"".join(do), t, n, c)
+    sd = abs(float(np.sum(su)) - sum(so)) / sum(so)
+    rms = float(np.sqrt(np.mean((pu.astype(np.float64) - po) ** 2)))
+    ref = blocks[:-1].astype(np.float64)
+
+    def snr(p):
+        e = p[1:] - ref
+        return 10 * np.log10(np.sum(ref**2) / max(np.sum(e**2), 1e-30))
+
+    return sd, rms, snr(pu), snr(po)
+
+
+CASES = [
+    ("cbr mono96 bs1024 trans", dict(n=1024, c=1, mode="cbr", rate_kbps=96.0)),
+    ("cbr mono96 bs1024 plain", dict(n=1024, c=1, mode="cbr", transients=False, rate_kbps=96.0)),
+    ("cbr st128 bs2048 trans", dict(n=2048, c=2, mode="cbr", t=3, rate_kbps=128.0)),
+    ("cbr st128 bs2048 plain", dict(n=2048, c=2, mode="cbr", t=3, transients=False, rate_kbps=128.0)),
+    ("vbr q50 st bs1024 trans", dict(n=1024, c=2, mode="vbr", quality=50.0)),
+    ("abr st128 bs1024 trans", dict(n=1024, c=2, mode="abr", rate_kbps=128.0, avg_complexity=0.5)),
+]
+
+for name, kw in CASES:
+    sd, rms, s_u, s_o = run(**kw)
+    print(
+        f"{name:28s} sizeD {100*sd:6.3f}%  rms {rms:.2e}  "
+        f"snr_ulcx {s_u:6.2f}  snr_oracle {s_o:6.2f}  dsnr {s_u-s_o:+.2f}",
+        flush=True,
+    )

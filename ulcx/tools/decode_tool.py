@@ -36,6 +36,7 @@ def main(argv=None) -> int:
 
     fmt = "PCM16"
     chunk = 64
+    profile_dir = None
     for a in argv[3:]:
         if a.startswith("-format:"):
             cand = a[len("-format:") :].upper()
@@ -45,6 +46,8 @@ def main(argv=None) -> int:
             fmt = cand
         elif a.startswith("-chunk:"):
             chunk = max(1, int(a[len("-chunk:") :]))
+        elif a.startswith("-profile:"):
+            profile_dir = a[len("-profile:") :]
         else:
             print(f"WARNING: Ignoring unknown argument ({a}).")
     bits, tag = _FORMATS[fmt]
@@ -85,6 +88,10 @@ def main(argv=None) -> int:
     done = 0
     offset, carry = jnp.int32(0), DecoderCarry.init(cfg)
     failed = False
+    from ulcx.utils.profiling import device_trace
+
+    trace_ctx = device_trace(profile_dir)
+    trace_ctx.__enter__()
     while done < hdr.n_blocks and not failed:
         pcm, bits_arr, corrupt, (offset, carry) = dec_fn(stream_j, offset, carry)
         take = min(chunk, hdr.n_blocks - done)
@@ -107,6 +114,7 @@ def main(argv=None) -> int:
             )
             last_print = now
 
+    trace_ctx.__exit__(None, None, None)
     wav.close()
     if not failed:
         print("\nOk")

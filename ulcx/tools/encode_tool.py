@@ -48,6 +48,7 @@ def _parse_args(argv):
         return None
     block_size = 2048
     chunk = 64
+    profile_dir = None
     for a in argv[4:]:
         if a.startswith("-blocksize:"):
             x = int(a[len("-blocksize:") :])
@@ -58,9 +59,11 @@ def _parse_args(argv):
                 return None
         elif a.startswith("-chunk:"):
             chunk = max(1, int(a[len("-chunk:") :]))
+        elif a.startswith("-profile:"):
+            profile_dir = a[len("-profile:") :]
         else:
             print(f"WARNING: Ignoring unknown argument ({a}).")
-    return argv[1], argv[2], rate_kbps, avg_complexity, block_size, chunk
+    return argv[1], argv[2], rate_kbps, avg_complexity, block_size, chunk, profile_dir
 
 
 def main(argv=None) -> int:
@@ -68,7 +71,7 @@ def main(argv=None) -> int:
     parsed = _parse_args(argv)
     if parsed is None:
         return 1
-    in_path, out_path, rate_kbps, avg_cx, block_size, chunk = parsed
+    in_path, out_path, rate_kbps, avg_cx, block_size, chunk, profile_dir = parsed
 
     import jax
     import jax.numpy as jnp
@@ -120,16 +123,37 @@ def main(argv=None) -> int:
     last_print = t0 - 0.5
     done_blocks = 0
     c, n = info.n_chan, block_size
-    while done_blocks < n_blocks:
-        take = min(chunk, n_blocks - done_blocks)
-        frames = wav.read_frames(take * n)  # interleaved, zero padded
-        blocks = (
-            frames.reshape(take, n, c).transpose(0, 2, 1).astype(np.float32)
-        )
-        if take < chunk:  # pad to compile-once chunk shape
-            pad = np.zeros((chunk - take, c, n), np.float32)
-            blocks = np.concatenate([blocks, pad], 0)
-        encoded, carry = enc_fn(jnp.asarray(blocks), carry)
+
+    # Double-buffered pipeline: a reader thread prefetches + converts
+    # the next WAV chunk while the device encodes the current one, and
+    # each chunk's outputs are flushed only after the next chunk has
+    # been dispatched (jax dispatch is async, so the device stays busy
+    # during host-side file writes). NOTES.md item 5.
+    import queue as _queue
+    import threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=2)
+
+    def _reader():
+        left = n_blocks
+        while left > 0:
+            take = min(chunk, left)
+            frames = wav.read_frames(take * n)  # interleaved, zero padded
+            blocks = (
+                frames.reshape(take, n, c).transpose(0, 2, 1).astype(np.float32)
+            )
+            if take < chunk:  # pad to compile-once chunk shape
+                pad = np.zeros((chunk - take, c, n), np.float32)
+                blocks = np.concatenate([blocks, pad], 0)
+            q.put((blocks, take))
+            left -= take
+        q.put(None)
+
+    rd = threading.Thread(target=_reader, daemon=True)
+    rd.start()
+
+    def _flush(encoded, take):
+        nonlocal total_bytes, max_bytes, cx_sum, done_blocks, last_print
         sizes = np.asarray(encoded.size_bits)[:take]
         datas = np.asarray(encoded.data)[:take]
         cxs = np.asarray(encoded.complexity)[:take]
@@ -156,6 +180,23 @@ def main(argv=None) -> int:
                 flush=True,
             )
             last_print = now
+
+    from ulcx.utils.profiling import device_trace
+
+    with device_trace(profile_dir):
+        pending = None
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            blocks, take = item
+            encoded, carry = enc_fn(jnp.asarray(blocks), carry)
+            if pending is not None:
+                _flush(*pending)
+            pending = (encoded, take)
+        if pending is not None:
+            _flush(*pending)
+    rd.join()
 
     n_samples_enc = n_blocks * n
     avg_kbps = total_bytes * 8.0 * info.rate_hz / 1000.0 / n_samples_enc
