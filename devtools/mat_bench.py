@@ -103,10 +103,64 @@ def main():
         size, by = materialize_fast(fb, n_out, cfg, mb)
         return c, (jnp.sum(size), jnp.sum(by[:, :64].astype(jnp.int32)))
 
+    def _assemble_var(fb, packed, t_pos, t_nyb, t_valid, max_bytes, skip):
+        """Copy of _assemble with pieces stubbed for bisection."""
+        bb, p_tot = fb.coef.shape
+        bidx = jnp.arange(bb)[:, None]
+        packed = packed.at[bidx, jnp.clip(t_pos, 0, p_tot - 1)].max(
+            jnp.where(t_valid, t_nyb, 0), mode="drop"
+        )
+        counts = (packed >> 28) & 0xF
+        total_nyb = fb.n_header + jnp.sum(counts, axis=-1)
+        size_bits = (4 * total_nyb + 7) & ~7
+        max_nyb = 2 * max_bytes
+        n_words = max_nyb // 8
+        offs = fb.n_header[:, None] + jnp.concatenate(
+            [jnp.zeros((bb, 1), jnp.int32), jnp.cumsum(counts, axis=-1)[:, :-1]],
+            axis=-1,
+        )
+        field = packed & 0x0FFFFFFF
+        word = offs >> 3
+        shift = (offs & 7) * 4
+        lo = (field << shift).astype(jnp.int32)
+        hi = jnp.where(shift == 0, 0, (field >> (32 - shift))).astype(jnp.int32)
+        has = counts > 0
+        words = jnp.zeros((bb, n_words), jnp.int32)
+        if skip == "scatter":
+            # keep lo/hi alive without the word scatters
+            words = words.at[:, 0].add(jnp.sum(lo + hi + word, axis=-1))
+        else:
+            words = words.at[bidx, jnp.where(has, word, n_words)].add(
+                jnp.where(has, lo, 0), mode="drop"
+            )
+            words = words.at[bidx, jnp.where(has, word + 1, n_words)].add(
+                jnp.where(has, hi, 0), mode="drop"
+            )
+        if skip == "bytes":
+            return size_bits, words
+        sh = jnp.arange(4) * 8
+        by = ((words[:, :, None] >> sh[None, None, :]) & 0xFF).astype(jnp.uint8)
+        return size_bits, by.reshape(bb, 4 * n_words)
+
+    def make_asm_skip(skip):
+        def step(c, blk_t):
+            c, fb, n_out = prep(c, blk_t)
+            nout16 = jnp.broadcast_to(n_out[:, None], (b, pe.N_CAND))
+            bits, slotpq, slotlc, nyb = kernel_sizes(fb, nout16, cfg, True)
+            _tt, t_pos, t_nyb, t_val = tail_info(fb, slotpq, slotlc, cfg)
+            size, by = _assemble_var(
+                fb, nyb[:, 0], t_pos[:, 0], t_nyb[:, 0], t_val[:, 0], mb, skip
+            )
+            return c, (jnp.sum(size), jnp.sum(by[:, :64].astype(jnp.int32)))
+
+        return step
+
     steps = {
         "matk": step_matk,
         "tail": step_tail,
         "asm": step_asm,
+        "asmnosc": make_asm_skip("scatter"),
+        "asmnoby": make_asm_skip("bytes"),
         "smat": step_smat,
         "s3mat": step_s3mat,
     }

@@ -63,14 +63,17 @@ from typing import NamedTuple
 
 
 class FastBlockData(NamedTuple):
-    """Batched per-block kernel inputs ([B, ...])."""
+    """Batched per-block kernel inputs ([B, ...]).
+
+    HF-extension fit quantities are pairwise constant, so they are kept
+    in the pseudo-DFT line domain [B, L] (L = P/2) and queried at
+    position>>1 — half the traffic and half the gather source size."""
 
     coef: jnp.ndarray        # [B, P] f32
     aux: jnp.ndarray         # [B, P] i32
     amp_noise: jnp.ndarray   # [B, P] f32 noise amplitude (pre-quantizer)
-    amp_lin: jnp.ndarray     # [B, P] f32 HF-ext amplitude
-    hf_ok: jnp.ndarray       # [B, P] bool
-    dec_q: jnp.ndarray       # [B, P] i32
+    amp_lin: jnp.ndarray     # [B, L] f32 HF-ext amplitude (line domain)
+    hf_meta: jnp.ndarray     # [B, L] i32: dec_q | hf_ok << 8 (line domain)
     window_ctrl: jnp.ndarray # [B]
     header: jnp.ndarray      # [B, 2]
     n_header: jnp.ndarray    # [B]
@@ -198,12 +201,10 @@ def prepare_fast(blk: AnalyzedBlock, cfg: CodecConfig) -> FastBlockData:
     hf_ok_l = solvable & (dec_raw > 0)
     dec_q_l = jnp.minimum(dec_raw, 255)
 
-    # expand line -> position (values repeat within each pair)
-    rep = lambda x: jnp.repeat(x, 2, axis=-1)
-    amp_noise = rep(amp_noise_l)
-    amp_lin = rep(amp_lin_l)
-    hf_ok = rep(hf_ok_l)
-    dec_q = rep(dec_q_l)
+    # expand line -> position only where the kernel needs positions;
+    # HF quantities stay in the line domain (see FastBlockData)
+    amp_noise = jnp.repeat(amp_noise_l, 2, axis=-1)
+    hf_meta = dec_q_l | (hf_ok_l.astype(jnp.int32) << 8)
 
     segdelta = jnp.matmul(oh, jnp.asarray(segdelta_t), precision=hi).astype(
         jnp.int32
@@ -219,7 +220,7 @@ def prepare_fast(blk: AnalyzedBlock, cfg: CodecConfig) -> FastBlockData:
     n_header = jnp.where((wc & 0x8) != 0, 2, 1).astype(jnp.int32)
 
     return FastBlockData(
-        coef, aux, amp_noise, amp_lin, hf_ok, dec_q, wc, header, n_header
+        coef, aux, amp_noise, amp_lin_l, hf_meta, wc, header, n_header
     )
 
 
@@ -332,16 +333,17 @@ def tail_info(fb: FastBlockData, slotpq, slotlc, cfg: CodecConfig):
     n_tail = send - p_tail
     pq_valid = pq >= 0
 
-    # HF-extension params at p_tail (candidate-independent fit); one
-    # small gather per array ([B, 16*S] queries), no batch replication
-    pt_c = jnp.clip(p_tail, 0, fb.coef.shape[1] - 1)
-    kq = pt_c.shape[1] * pt_c.shape[2]
+    # HF-extension params at p_tail (candidate-independent fit): two
+    # small line-domain gathers ([B, 16*S] queries into [B, P/2])
+    pt_l = jnp.clip(p_tail, 0, fb.coef.shape[1] - 1) >> 1
+    kq = pt_l.shape[1] * pt_l.shape[2]
     gat = lambda x: jnp.take_along_axis(
-        x, pt_c.reshape(b, kq), axis=-1
-    ).reshape(pt_c.shape)
+        x, pt_l.reshape(b, kq), axis=-1
+    ).reshape(pt_l.shape)
     amp_t = gat(fb.amp_lin)
-    hfok_t = gat(fb.hf_ok.astype(jnp.int32)) == 1
-    dec_t = gat(fb.dec_q)
+    meta_t = gat(fb.hf_meta)
+    hfok_t = (meta_t >> 8) == 1
+    dec_t = meta_t & 0xFF
     pq_scale = jnp.exp2(jnp.clip(pq, 0, 31).astype(jnp.float32))
     nq_hf = jnp.minimum(_cq_unsigned(amp_t * pq_scale * 4.0), 16)
     do_hf = (
@@ -514,7 +516,8 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
 
     def sel(x):
         # 16-way select (take_along_axis over the candidate axis lowers
-        # to a slow generic gather on TPU)
+        # to a slow generic gather on TPU; a split-int one-hot einsum
+        # was A/B-tested and is no faster than the where-chain)
         out = x[:, 0]
         for j in range(1, pe.N_CAND):
             m = (best_j == j).reshape((b,) + (1,) * (x.ndim - 2))
