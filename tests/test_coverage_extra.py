@@ -53,3 +53,20 @@ def test_large_p_scan_fallback(rng):
     cfg = CodecConfig(rate_hz=44100, n_chan=2, block_size=4096)
     assert not _use_kernel(cfg, 8)
     assert _roundtrip(cfg, rng, t=4, kbps=128.0) > 5.0
+
+
+def test_block_size_32768_fft_backend(rng):
+    """The reference's maximum block size (libulc/ulcEncoder.c:21),
+    end to end through the FFT transform backend (an N^2 basis matrix
+    would be 4 GiB; CodecConfig.use_matmul routes N > matmul_max_n to
+    ulcx.ops.dct.dct4_fft)."""
+    cfg = CodecConfig(rate_hz=48000, n_chan=1, block_size=32768)
+    assert not cfg.use_matmul(cfg.block_size)
+    assert _roundtrip(cfg, rng, t=3, kbps=96.0) > 5.0
+
+
+def test_sixteen_channels(rng):
+    """High channel count (reference allows 1..255, ulcEncoder.c:18):
+    8 M/S pairs through analysis, serialization, and decode."""
+    cfg = CodecConfig(rate_hz=44100, n_chan=16, block_size=256)
+    assert _roundtrip(cfg, rng, t=3, kbps=1600.0) > 8.0

@@ -93,30 +93,39 @@ class WavReader:
     """Streaming WAV reader (frames of interleaved float32)."""
 
     def __init__(self, path: str):
+        from ulcx.io.miniriff import ChunkHandler, ListHandler, ck_read
+
         self.f = open(path, "rb")
-        riff, _, wave = struct.unpack("<4sI4s", self.f.read(12))
-        if riff != b"RIFF" or wave != b"WAVE":
+        head = self.f.read(12)
+        if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
             raise ValueError("not a RIFF/WAVE file")
-        fmt = None
-        self.data_offset = None
-        self.data_size = 0
-        while True:
-            hdr = self.f.read(8)
-            if len(hdr) < 8:
-                break
-            ckid, cksz = struct.unpack("<4sI", hdr)
-            if ckid == b"fmt ":
-                fmt = self.f.read(cksz)
-            elif ckid == b"data":
-                self.data_offset = self.f.tell()
-                self.data_size = cksz
-                self.f.seek(cksz + (cksz & 1), 1)
-                continue
-            else:
-                self.f.seek(cksz + (cksz & 1), 1)
-                continue
-            if cksz & 1:
-                self.f.seek(1, 1)
+        self.f.seek(0)
+
+        state = {"fmt": None, "data_offset": None, "data_size": 0}
+
+        def on_fmt(f, st, fourcc, size):
+            st["fmt"] = f.read(size)
+            return 1
+
+        def on_data(f, st, fourcc, size):
+            # keep only the first data chunk, like the reference reader
+            if st["data_offset"] is None:
+                st["data_offset"] = f.tell()
+                st["data_size"] = size
+            return 1
+
+        wave_list = ListHandler(
+            b"WAVE",
+            ck_handlers=[
+                ChunkHandler(b"fmt ", on_fmt),
+                ChunkHandler(b"data", on_data),
+            ],
+            list_handlers=[],
+        )
+        ck_read(self.f, state, None, [wave_list])
+        fmt = state["fmt"]
+        self.data_offset = state["data_offset"]
+        self.data_size = state["data_size"]
         if fmt is None or self.data_offset is None:
             raise ValueError("missing fmt/data chunk")
         tag, nch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
