@@ -34,6 +34,29 @@ def _roundtrip(cfg, rng, t=4, kbps=220.0):
     return snr
 
 
+def _roundtrip_vbr(cfg, rng, t=3, quality=60.0):
+    n, c = cfg.block_size, cfg.n_chan
+    tt = np.arange(t * n) / cfg.rate_hz
+    base = 0.4 * np.sin(2 * np.pi * 700 * tt).astype(np.float32)
+    x = np.stack([base * (0.5 + 0.2 * k) for k in range(c)], axis=0)
+    blocks = jnp.asarray(x.reshape(c, t, n).transpose(1, 0, 2))
+    out, _ = jax.jit(lambda b: encode_stream(b, cfg, "vbr", quality=quality))(blocks)
+    sizes = np.asarray(out.size_bits)
+    datas = np.asarray(out.data)
+    stream = b"".join(datas[i, : sizes[i] // 8].tobytes() for i in range(t))
+    pad = np.zeros(max_block_bytes(cfg) + 8, np.uint8)
+    sj = jnp.asarray(np.concatenate([np.frombuffer(stream, np.uint8), pad]))
+    pcm, bits, corrupt, _ = jax.jit(
+        lambda s: decode_stream(s, t, max_block_bytes(cfg), cfg)
+    )(sj)
+    assert not np.asarray(corrupt).any()
+    got = np.asarray(pcm).transpose(1, 0, 2).reshape(c, t * n)
+    seg = slice(n, (t - 2) * n) if t > 2 else slice(0, n)
+    want = x[:, seg]
+    err = got[:, n:][:, seg] - want
+    return 10 * np.log10((want**2).mean() / max((err**2).mean(), 1e-12))
+
+
 def test_three_channels_odd_ms(rng):
     """Odd channel count: pair 0/1 gets M/S, channel 2 passes through
     (reference ulcEncoder_BlockTransform.c:102, ulcDecoder.c:281)."""
@@ -59,10 +82,11 @@ def test_block_size_32768_fft_backend(rng):
     """The reference's maximum block size (libulc/ulcEncoder.c:21),
     end to end through the FFT transform backend (an N^2 basis matrix
     would be 4 GiB; CodecConfig.use_matmul routes N > matmul_max_n to
-    ulcx.ops.dct.dct4_fft)."""
+    ulcx.ops.dct.dct4_fft). VBR keeps this single-pass (a CBR bisection
+    at P=32768 multiplies the encode-pass cost ~16x on the CPU suite)."""
     cfg = CodecConfig(rate_hz=48000, n_chan=1, block_size=32768)
     assert not cfg.use_matmul(cfg.block_size)
-    assert _roundtrip(cfg, rng, t=3, kbps=96.0) > 5.0
+    assert _roundtrip_vbr(cfg, rng, t=3, quality=60.0) > 5.0
 
 
 def test_sixteen_channels(rng):

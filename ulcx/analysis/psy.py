@@ -72,6 +72,27 @@ def line_interp_tables(m: int, rate_hz: int):
     return il, ir, frac.astype(np.float32)
 
 
+@lru_cache(maxsize=64)
+def _interp_onehots(m: int, rate_hz: int):
+    """One-hot [25, m] selection matrices for the left/right band of
+    each line (f32 matmul with exactly one nonzero per output column is
+    exact, and beats a gather on TPU)."""
+    il, ir, frac = line_interp_tables(m, rate_hz)
+    eye = np.eye(N_BARK_BANDS, dtype=np.float32)
+    return eye[:, il].copy(), eye[:, ir].copy(), frac
+
+
+def _band_lerp(bark_vals: jnp.ndarray, m: int, rate_hz: int) -> jnp.ndarray:
+    """Per-line lerp of [..., 25] band values -> [..., m]; identical
+    arithmetic to gather+lerp (selection is exact; the lerp itself is
+    the same f32 elementwise expression)."""
+    oh_l, oh_r, frac = _interp_onehots(m, rate_hz)
+    hi = lax.Precision.HIGHEST
+    bl = jnp.matmul(bark_vals, jnp.asarray(oh_l), precision=hi)
+    br = jnp.matmul(bark_vals, jnp.asarray(oh_r), precision=hi)
+    return bl * (1.0 - frac) + br * frac
+
+
 def _forward_fill(values, valid, init):
     """Per-band forward fill: carry the last valid value, else ``init``."""
     n = values.shape[-1]
@@ -110,10 +131,7 @@ def masking_curve(amp2: jnp.ndarray, m: int, rate_hz: int) -> jnp.ndarray:
     safe_w = jnp.where(valid, peak_w, 1.0)
     ratio = peak / safe_w - floor / jnp.maximum(nlines, 1.0) - jnp.log(safe_w)
     bark_unmasked = _forward_fill(jnp.where(valid, ratio, 0.0), valid, 0.0)
-    il, ir, frac = line_interp_tables(m, rate_hz)
-    bl = bark_unmasked[..., il]
-    br = bark_unmasked[..., ir]
-    return bl * (1.0 - frac) + br * frac
+    return _band_lerp(bark_unmasked, m, rate_hz)
 
 
 def noise_log_spectrum(energy: jnp.ndarray, m: int, rate_hz: int) -> jnp.ndarray:
@@ -133,8 +151,7 @@ def noise_log_spectrum(energy: jnp.ndarray, m: int, rate_hz: int) -> jnp.ndarray
     scale = 1.0 / nlines
     level = 0.5 * (jnp.log(safe_w * scale) + floor * scale - peak / safe_w)
     bark_noise = _forward_fill(jnp.where(valid, level, -100.0), valid, -100.0)
-    il, ir, frac = line_interp_tables(m, rate_hz)
-    noise = bark_noise[..., il] * (1.0 - frac) + bark_noise[..., ir] * frac
+    noise = _band_lerp(bark_noise, m, rate_hz)
     w = jnp.exp(0.5 * noise)
     pairs = jnp.stack([w, w * (noise + _LOG2)], axis=-1)
     return pairs.reshape(pairs.shape[:-2] + (2 * m,))

@@ -428,33 +428,39 @@ def _assemble(fb: FastBlockData, packed, t_pos, t_nyb, t_valid, max_bytes: int):
     total_nyb = fb.n_header + jnp.sum(counts, axis=-1)
     size_bits = (4 * total_nyb + 7) & ~7
 
-    # Pack by scattering each position's <=28-bit nybble field into u32
-    # words at its bit offset (fields never overlap, so scatter-add ==
-    # bitwise or). Two [B, P] scatters replace a [B, P, 7] one.
+    # Pack by SORTING, not scattering: slot (p, k < count[p]) holds
+    # nybble k of position p, destined for stream-nybble offset
+    # q = offs[p] + k. Valid targets are exactly a permutation of
+    # [0, total_nybbles), so sorting the packed keys (q << 4) | nybble
+    # ascending places every nybble at its final stream index (invalid
+    # slots get a large key and sort to the tail as zero nybbles). One
+    # single-operand [B, 7P] lax.sort measures ~1.6x faster than the
+    # equivalent pair of [B, P] scatter-adds on this backend
+    # (devtools/scatter_probe.py).
     max_nyb = 2 * max_bytes
     n_words = max_nyb // 8
     offs = fb.n_header[:, None] + jnp.concatenate(
         [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(counts, axis=-1)[:, :-1]],
         axis=-1,
     )
-    field = packed & 0x0FFFFFFF
-    word = offs >> 3
-    shift = (offs & 7) * 4
-    lo = (field << shift).astype(jnp.int32)
-    hi = jnp.where(shift == 0, 0, (field >> (32 - shift))).astype(jnp.int32)
-    has = counts > 0
-    words = jnp.zeros((b, n_words), jnp.int32)
-    words = words.at[bidx, jnp.where(has, word, n_words)].add(
-        jnp.where(has, lo, 0), mode="drop"
+    k = jnp.arange(7, dtype=jnp.int32)
+    q = offs[:, :, None] + k                      # [B, P, 7]
+    nyb7 = (packed[:, :, None] >> (4 * k)) & 0xF
+    valid = k < counts[:, :, None]
+    key = jnp.where(valid, (q << 4) | nyb7, jnp.int32(2**30)).reshape(
+        b, 7 * p_tot
     )
-    words = words.at[bidx, jnp.where(has, word + 1, n_words)].add(
-        jnp.where(has, hi, 0), mode="drop"
+    # header nybbles are slots too (stream offsets 0..n_header-1)
+    hidx = jnp.arange(2, dtype=jnp.int32)[None, :]
+    hkey = jnp.where(
+        hidx < fb.n_header[:, None],
+        (hidx << 4) | (fb.header & 0xF),
+        jnp.int32(2**30),
     )
-    # header nybbles occupy the start of word 0
-    hdr_field = (fb.header[:, 0] & 0xF) | jnp.where(
-        fb.n_header == 2, (fb.header[:, 1] & 0xF) << 4, 0
-    )
-    words = words.at[:, 0].add(hdr_field)
+    skey = lax.sort(jnp.concatenate([hkey, key], axis=-1), dimension=-1)
+    nyb_s = (skey & 0xF)[:, :max_nyb].reshape(b, n_words, 8)
+    sh8 = (jnp.arange(8, dtype=jnp.int32) * 4)[None, None]
+    words = jnp.sum(nyb_s << sh8, axis=-1).astype(jnp.int32)
     # u32 words -> bytes (low nybble first matches low byte first)
     sh = jnp.arange(4) * 8
     by = ((words[:, :, None] >> sh[None, None, :]) & 0xFF).astype(jnp.uint8)
