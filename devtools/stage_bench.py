@@ -76,7 +76,7 @@ def main():
             jnp.sum(fb.aux),
             jnp.sum(fb.amp_noise),
             jnp.sum(fb.amp_lin),
-            jnp.sum(fb.dec_q),
+            jnp.sum(fb.hf_meta),
         )
 
     def step_sizes1(c, blk_t):

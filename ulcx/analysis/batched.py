@@ -81,6 +81,121 @@ def _psy_noise_batched(mdct, mdst, window_ctrl, cfg: CodecConfig):
     return mask_coef, noise
 
 
+def _analyze_core(samples, window_ctrl, prev_last_ss, next_ov, cfg: CodecConfig):
+    """Non-recurrent analysis on a flat batch: samples [F, C, 2N]
+    (prev||new pairs), window_ctrl/prev_last_ss/next_ov [F]. Returns
+    AnalyzedBlock with leading [F]."""
+    n = cfg.block_size
+    f = samples.shape[0]
+
+    mdct, mdst = block_mdct_mdst_batched(
+        samples, window_ctrl, prev_last_ss, next_ov, cfg
+    )
+    mask_coef, noise = _psy_noise_batched(mdct, mdst, window_ctrl, cfg)
+
+    re2 = mdct * mdct
+    val_np = jnp.where(
+        jnp.abs(mdct) < jnp.float32(0.5 * COEF_EPS), -jnp.inf, fast_log(re2)
+    )
+    if cfg.use_psychoacoustics:
+        chan_pen = _NEG_LOG4 * (jnp.arange(cfg.n_chan) & 1).astype(jnp.float32)
+        importance = 2.0 * val_np + mask_coef[:, None, :] + chan_pen[None, :, None]
+    else:
+        importance = val_np
+
+    csum = jnp.sum(re2, axis=(1, 2))
+    cw = jnp.sum(jnp.abs(mdct), axis=(1, 2))
+    scale = _INV_LOG2E * np.float32(int(np.log2(n)))
+    complexity = jnp.where(
+        csum > 0,
+        jnp.clip(
+            jnp.log(jnp.maximum(cw * cw / jnp.maximum(csum, 1e-38), 1e-38)) / scale,
+            0.0,
+            1.0,
+        ),
+        0.0,
+    ).astype(jnp.float32)
+
+    n_nz = jnp.sum(
+        jnp.abs(mdct) >= jnp.float32(0.5 * COEF_EPS), axis=(1, 2)
+    ).astype(jnp.int32)
+
+    flat = importance.reshape(f, -1)
+    order = jnp.argsort(-flat, axis=-1)
+    # inverse permutation by a second argsort (sorts beat scatters on TPU)
+    rank = jnp.argsort(order, axis=-1)
+    rank = rank.reshape(importance.shape).astype(jnp.int32)
+
+    return AnalyzedBlock(
+        window_ctrl=window_ctrl,
+        mdct=mdct,
+        noise=noise,
+        rank=rank,
+        complexity=complexity,
+        n_nz=n_nz,
+    )
+
+
+def analyze_stream_batched(carry: EncoderCarry, blocks: jnp.ndarray, cfg: CodecConfig):
+    """Whole-chunk analysis: blocks [B, T, C, N] -> AnalyzedBlock with
+    leading [B*T] (b-major) + new carry.
+
+    Only the window-control chain is recurrent across blocks (transient
+    filter EMAs + the one-block lookahead); it runs as a T-step scan on
+    small state. Everything heavy (transforms, psy, ranks) then runs
+    ONCE over the flattened [B*T] batch — on this backend per-dispatch
+    overhead dominates these stages, so folding T out of the scan is a
+    near-T-fold win (NOTES.md round-2 log)."""
+    from ulcx.analysis.block import ms_transform
+
+    n = cfg.block_size
+    b, t = blocks.shape[0], blocks.shape[1]
+
+    new_ms = jax.vmap(jax.vmap(ms_transform))(blocks)  # [B, T, C, N]
+    prevs = jnp.concatenate(
+        [carry.sample_prev[:, None], new_ms[:, :-1]], axis=1
+    )
+    pairs = jnp.concatenate([prevs, new_ms], axis=-1)  # [B, T, C, 2N]
+
+    def wc_step(tstate, s_t):
+        next_wc, tstate = jax.vmap(lambda s, st: get_window_ctrl(s, st, cfg))(
+            s_t, tstate
+        )
+        return tstate, next_wc
+
+    tstate, next_wcs = jax.lax.scan(
+        wc_step, carry.transient, pairs.transpose(1, 0, 2, 3)
+    )  # next_wcs [T, B]
+
+    wcs_full = jnp.concatenate(
+        [carry.next_window_ctrl[None], next_wcs], axis=0
+    )  # [T+1, B]
+    wc_t = wcs_full[:t].transpose(1, 0)          # [B, T] per coded block
+    next_ov_t = first_overlap(wcs_full[1:], n).transpose(1, 0)  # [B, T]
+    last_ss_all = last_subblock_size(wcs_full[: t], n)  # [T, B] of blocks 0..T-1
+    prev_ss_t = jnp.concatenate(
+        [carry.prev_last_ss[:, None], last_ss_all[: t - 1].transpose(1, 0)],
+        axis=1,
+    )  # [B, T]
+
+    bf = b * t
+    ab = _analyze_core(
+        pairs.reshape(bf, cfg.n_chan, 2 * n),
+        wc_t.reshape(bf),
+        prev_ss_t.reshape(bf),
+        next_ov_t.reshape(bf),
+        cfg,
+    )
+
+    new_carry = EncoderCarry(
+        sample_prev=new_ms[:, -1],
+        transient=tstate,
+        next_window_ctrl=next_wcs[-1],
+        prev_last_ss=last_ss_all[-1],
+    )
+    return new_carry, ab
+
+
 def analyze_block_batched(carry: EncoderCarry, new_blocks: jnp.ndarray, cfg: CodecConfig):
     """Batched analyze: carry pytree with leading [B], new_blocks [B, C, N]."""
     from ulcx.analysis.block import ms_transform

@@ -233,6 +233,10 @@ def _kernel(nout_ref, coef_ref, amp_ref, aux_ref, size_ref, slotpq_ref, slotlc_r
             )
             t2 = jnp.where(do_noise, (v_noise >> 1) & 0xF, v_long & 0xF)
             t3 = ((v_noise & 1) | ((nq_est - 1) << 1)) & 0xF
+            # NOTE: an arithmetic pack via variable shifts
+            # ((tok & mask) << 4*q_cnt) was A/B-tested and is ~75ms
+            # SLOWER per bench — Mosaic lowers vector-variable shifts
+            # poorly; the unrolled select loop wins.
             token = [t0, t1, t2, t3]
             packed = jnp.zeros((LANES,), jnp.int32)
             for k in range(7):

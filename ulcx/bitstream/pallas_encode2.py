@@ -240,6 +240,9 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, state_ref,
             )
             t2 = jnp.where(do_noise, (v_noise >> 1) & 0xF, v_long & 0xF)
             t3 = ((v_noise & 1) | ((nq_est - 1) << 1)) & 0xF
+            # NOTE: an arithmetic pack via variable shifts was A/B'd
+            # and is ~75ms SLOWER per bench (Mosaic vector-variable
+            # shifts); keep the unrolled select loop.
             token = [t0, t1, t2, t3]
             packed = jnp.zeros((SUB, LAN), jnp.int32)
             for k in range(7):

@@ -253,14 +253,31 @@ def encode_block_batched(carry, new_blocks, cfg: CodecConfig, mode: str, **kw):
 
 
 def encode_stream_batched(blocks, cfg: CodecConfig, mode: str, carry=None, **kw):
-    """Encode [B, T, C, N] batched streams; scan over T. Returns
-    (EncodedBlock with leading [T, B]... transposed to [B, T], carry)."""
+    """Encode [B, T, C, N] batched streams. Returns (EncodedBlock with
+    leading [B, T], carry).
+
+    With cfg.flat_stream, only window control scans over blocks and
+    everything else runs once over the flattened [B*T] batch
+    (analyze_stream_batched) — byte-identical to the per-block scan
+    (tests/test_stream_flat.py) but measured slower end-to-end on the
+    round-2 chip (NOTES.md), so the default is the per-block scan."""
+    from ulcx.analysis.batched import analyze_stream_batched
+
+    b, t = blocks.shape[0], blocks.shape[1]
+    if carry is None:
+        carry = init_carry_batched(cfg, b)
+
+    if cfg.flat_stream and _use_kernel(cfg, b * t):
+        carry, ab = analyze_stream_batched(carry, blocks, cfg)
+        enc = _encode_analyzed_fast(ab, cfg, mode, **kw)
+        out = jax.tree_util.tree_map(
+            lambda x: x.reshape((b, t) + x.shape[1:]), enc
+        )
+        return out, carry
 
     def step(c, blk_t):
         return encode_block_batched(c, blk_t, cfg, mode, **kw)
 
-    if carry is None:
-        carry = init_carry_batched(cfg, blocks.shape[0])
     carry, out = lax.scan(step, carry, blocks.transpose(1, 0, 2, 3))
     out = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), out)
     return out, carry

@@ -65,6 +65,12 @@ class CodecConfig:
     # segment noise window); "on" forces them (interpret mode off-TPU),
     # "off" always uses the XLA scan path.
     use_pallas: str = "auto"
+    # Whole-chunk pipeline shape: fold the block axis T into the batch
+    # (scan only over window control). Byte-identical to the per-block
+    # scan (tests/test_stream_flat.py) but measured ~15% slower
+    # end-to-end on the round-2 chip (NOTES.md) — kept as an A/B-able
+    # alternative; default off.
+    flat_stream: bool = False
 
     def __post_init__(self):
         if not (MIN_CHANS <= self.n_chan <= MAX_CHANS):
