@@ -65,7 +65,6 @@ def main():
     import jax
     import jax.numpy as jnp
     from ulcx.parallel.mesh import batch_decode, batch_encode
-    from ulcx.codec.encoder import max_block_bytes
     from ulcx.utils.config import CodecConfig
 
     b = int(os.environ.get("ULCX_BENCH_B", "512"))
@@ -103,7 +102,10 @@ def main():
         # is host-side file I/O in the tools too), then time batch decode
         sizes = np.asarray(out.size_bits)
         datas = np.asarray(out.data)
-        win = max_block_bytes(cfg)
+        # window = actual max block size, as the ULC2 container records
+        # it (tools/ulc_Helper.h MaxBlockSize; the reference decode tool
+        # sizes its stream buffer from the header, ulcDecodeTool.c:78-80)
+        win = -(-int(sizes.max() // 8) // 64) * 64 + 64
         streams = np.zeros((b, t * win + win + 64), np.uint8)
         for i in range(b):
             offs = 0

@@ -25,11 +25,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ulcx.bitstream.pallas_encode import _cq_unsigned, _exp2i, _BQ_A, _INV_LN2, SENT
 
+import os
+
 SUB = 8      # sublanes: stream groups
 LAN = 128    # lanes: 8 stream-subgroups x 16 candidates
 N_STREAMS = 64
 N_CAND = 16
-CHUNK = 128  # positions per grid step
+# positions per grid step; env-tunable for A/B (must divide P)
+CHUNK = int(os.environ.get("ULCX_KERNEL_CHUNK", "128"))
 
 
 def _row(ref, p):

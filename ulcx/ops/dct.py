@@ -68,16 +68,28 @@ def _fft_twiddles(n: int) -> tuple[np.ndarray, np.ndarray]:
 # Public transforms. All operate on the last axis; any leading batch dims.
 
 
+# Transform matmul precision: HIGHEST = 6-pass bf16 (f32-equivalent),
+# HIGH = 3-pass bf16 (~2^-21 relative error — far below the codec's
+# 3-bit companded quantization). Env-tunable for A/B on hardware; CPU
+# backends ignore precision flags entirely (tests unaffected).
+import os as _os
+
+_MM_PRECISION = {
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}[_os.environ.get("ULCX_TRANSFORM_PRECISION", "highest").lower()]
+
+
 def dct4_matmul(x: jnp.ndarray) -> jnp.ndarray:
     n = x.shape[-1]
     m = jnp.asarray(_dct4_matrix(n))
-    return jnp.matmul(x, m, precision=lax.Precision.HIGHEST)
+    return jnp.matmul(x, m, precision=_MM_PRECISION)
 
 
 def dst4_matmul(x: jnp.ndarray) -> jnp.ndarray:
     n = x.shape[-1]
     m = jnp.asarray(_dst4_matrix(n))
-    return jnp.matmul(x, m, precision=lax.Precision.HIGHEST)
+    return jnp.matmul(x, m, precision=_MM_PRECISION)
 
 
 def _c4_fft(x: jnp.ndarray) -> jnp.ndarray:
