@@ -36,6 +36,24 @@ def _ffill(values, flag, init):
     return jnp.where(f, v, jnp.asarray(init, values.dtype))
 
 
+def _ffill_multi(flag, arrays):
+    """Forward fill several arrays under one flag in a single
+    associative scan (one scan = one set of log-rounds instead of one
+    per array; per-fused-kernel fixed costs dominate on this backend)."""
+
+    def combine(l, r):
+        fl = l[0] | r[0]
+        return (fl,) + tuple(
+            jnp.where(r[0], rv, lv) for lv, rv in zip(l[1:], r[1:])
+        )
+
+    masked = tuple(jnp.where(flag, a, 0) for a in arrays)
+    out = lax.associative_scan(
+        combine, (flag,) + masked, axis=flag.ndim - 1
+    )
+    return out[0], out[1:]
+
+
 def _to_lanes(x, b):
     """[B, T] -> [G, T, 128] (pad batch to a multiple of 128)."""
     g = -(-b // pd.LANES)
@@ -85,28 +103,29 @@ def decode_block_fast(windows, rng_state, cfg: CodecConfig, interpret=False):
     consumed = consumed.reshape(-1)[:b]
     corrupt = corrupt.reshape(-1)[:b]
 
-    # --- expansion: scatter records at their start positions ---
+    # --- expansion: place records at their start positions, then one
+    # fused forward fill. Record starts are unique, all payloads are
+    # non-negative, and non-records carry zeros — so three scatter-max
+    # ops with a zero background replace four masked scatter-sets
+    # (meta packs type|start<<3; lvl/dcy ride as their own f32 bits) ---
     rtype = (rec >> 26) & 0x7
     start = rec & 0x1FFF
     emit = rtype != 0
     bidx = jnp.arange(b)[:, None]
-    tgt = jnp.where(emit, start, p_tot)
+    tgt = jnp.where(emit, start, p_tot)  # non-records -> drop slot
 
-    def scat(vals, dtype):
-        return jnp.zeros((b, p_tot), dtype).at[bidx, tgt].set(
-            jnp.where(emit, vals, 0).astype(dtype), mode="drop"
-        )
-
-    type_s = scat(rtype, jnp.int32)
-    lvl_s = scat(lvl, jnp.float32)
-    dcy_s = scat(dcy, jnp.float32)
-    mark = jnp.zeros((b, p_tot), jnp.bool_).at[bidx, tgt].set(emit, mode="drop")
+    meta = jnp.where(emit, rtype | (start << 3), 0)
+    zi = jnp.zeros((b, p_tot), jnp.int32)
+    zf = jnp.zeros((b, p_tot), jnp.float32)
+    meta_s = zi.at[bidx, tgt].set(meta, mode="drop")
+    lvl_s = zf.at[bidx, tgt].set(lvl, mode="drop")
+    dcy_s = zf.at[bidx, tgt].set(dcy, mode="drop")
+    mark = meta_s != 0
 
     pos = jnp.arange(p_tot)[None, :]
-    type_p = _ffill(type_s, mark, 0)
-    lvl_p = _ffill(lvl_s, mark, 0.0)
-    dcy_p = _ffill(dcy_s, mark, 0.0)
-    start_p = _ffill(jnp.broadcast_to(pos, (b, p_tot)), mark, 0)
+    _, (meta_p, lvl_p, dcy_p) = _ffill_multi(mark, (meta_s, lvl_s, dcy_s))
+    type_p = meta_p & 0x7
+    start_p = meta_p >> 3
     k = (pos - start_p).astype(jnp.float32)
 
     is_draw = (type_p == REC_NOISE) | (type_p == REC_TAIL)

@@ -235,20 +235,26 @@ def block_imdct_batched(coefs, window_ctrl, lap, prev_last_ss, cfg):
 
     ext = jnp.zeros((b, c, n + h), jnp.float32)
 
-    # previous block's deferred-window contribution
+    # previous block's deferred-window contribution. The reshuffle of
+    # the lap buffer (identity prefix / reversed middle / shifted tail
+    # around f_split = h - prev_last_ss/2) is a data-dependent gather —
+    # but prev_last_ss takes only the 4 subblock size classes, so it
+    # becomes a 4-way select of statically sliced layouts (gathers with
+    # [B,C,N] indices are pathological on TPU; see NOTES.md).
     first_ol = jnp.take_along_axis(o_l, _first_active(act)[:, None], axis=-1)[:, 0]
-    p = jnp.arange(n)
-    f_split = h - prev_last_ss[:, None] // 2  # [B, 1]
-    idx = jnp.where(
-        p[None] < f_split,
-        p[None],
-        jnp.where(p[None] < h, f_split + h - 1 - p[None], f_split + p[None] - h),
-    )
-    idx = jnp.clip(idx, 0, h - 1)
+    rlap = lap[..., ::-1]
+    zfill = lambda k: jnp.zeros((b, c, k), jnp.float32)
+    pc = jnp.zeros((b, c, n), jnp.float32)
+    for cls in range(N_CLASSES):
+        pls = n >> cls
+        fs = h - pls // 2
+        part = jnp.concatenate(
+            [lap[..., :fs], rlap[..., : h - fs], lap[..., fs:], zfill(fs)],
+            axis=-1,
+        )
+        pc = jnp.where((prev_last_ss == pls)[:, None, None], part, pc)
     w_prev = _rise_batched(n, first_ol)[..., ::-1]  # [B, N]
-    pc = jnp.take_along_axis(lap, jnp.broadcast_to(idx[:, None, :], (b, c, n)), axis=-1)
     pc = pc * w_prev[:, None]
-    pc = jnp.where(p[None, None] < h + prev_last_ss[:, None, None] // 2, pc, 0.0)
     ext = ext.at[..., :n].add(pc)
 
     last_k = _last_active(act)
@@ -295,9 +301,15 @@ def block_imdct_batched(coefs, window_ctrl, lap, prev_last_ss, cfg):
     j = jnp.arange(h)
     f_new = h - last_ss[:, None] // 2  # [B, 1]
     spill = ext[..., n : n + h]
-    v_idx = jnp.clip(j[None] - f_new, 0, h - 1)  # [B, h]
-    v_part = jnp.take_along_axis(
-        v_last, jnp.broadcast_to(v_idx[:, None, :], (b, c, h)), axis=-1
-    )
+    # v_last shifted right by f_new: 4-way class select of static
+    # layouts instead of a [B,C,h]-indexed gather (see above)
+    v_part = jnp.zeros((b, c, h), jnp.float32)
+    for cls in range(N_CLASSES):
+        pls = n >> cls
+        fs = h - pls // 2
+        part = jnp.concatenate(
+            [jnp.zeros((b, c, fs), jnp.float32), v_last[..., : h - fs]], axis=-1
+        )
+        v_part = jnp.where((last_ss == pls)[:, None, None], part, v_part)
     new_lap = jnp.where(j[None, None] < f_new[:, None], spill, v_part)
     return out, new_lap, last_ss
