@@ -143,33 +143,39 @@ def prepare_fast(blk: AnalyzedBlock, cfg: CodecConfig) -> FastBlockData:
     wy = noise[:, 1::2]
     g = jnp.arange(nl, dtype=jnp.float32)
 
-    # 5 prefix sums in one shot: {w, w*y, w*g, w*g^2, w*y*g}
+    # 5 prefix sums in one shot: {w, w*y, w*g, w*g^2, w*y*g}.
+    # Exclusive form kept LANE-ALIGNED ([B,5,L], not an L+1 concat —
+    # the odd minor dimension forces relayout copies on every
+    # downstream slice); the grand totals ride separately. All values
+    # bit-identical to the L+1 form.
     stacked = jnp.stack([w, wy, w * g, w * g * g, wy * g], axis=1)
+    incl = jnp.cumsum(stacked, axis=-1)  # [B, 5, L]
     cs = jnp.concatenate(
-        [jnp.zeros((b, 5, 1), jnp.float32), jnp.cumsum(stacked, axis=-1)],
-        axis=-1,
-    )  # [B, 5, L+1]
+        [jnp.zeros((b, 5, 1), jnp.float32), incl[:, :, :-1]], axis=-1
+    )  # [B, 5, L] exclusive
+    tot = incl[:, :, -1:]  # [B, 5, 1]
 
-    # segment-end cumsum values: grid slot values (strided slice) are
-    # selected per line via sel (exactly one nonzero term per output,
-    # so the f32 matmul is exact)
-    gv = cs[:, :, grid_step :: grid_step][:, :, :n_grid]  # [B, 5, G]
+    # segment-end cumsum values: grid slot values (strided slice; the
+    # last grid boundary is the grand total) are selected per line via
+    # sel (exactly one nonzero term per output, so the f32 matmul is
+    # exact)
+    gv = jnp.concatenate(
+        [cs[:, :, grid_step :: grid_step][:, :, : n_grid - 1], tot], axis=-1
+    )  # [B, 5, G]
     y = (oh[:, None, :, None] * gv[:, :, None, :]).reshape(b, 5, 16 * n_grid)
     seg_vals = jnp.matmul(y, jnp.asarray(sel_t), precision=hi)  # [B, 5, L]
 
     end_line = jnp.matmul(oh, jnp.asarray(endline_t), precision=hi)  # [B, L]
-    cw_a, cwy_a = cs[:, 0, :nl], cs[:, 1, :nl]
+    cw_a, cwy_a = cs[:, 0], cs[:, 1]
     cw_end, cwy_end = seg_vals[:, 0], seg_vals[:, 1]
 
     # noise amplitude window = min(line + 264, segment end): resolved
     # on indices; the +264 branch is a static shifted slice
     in_window = (g + 264.0) < end_line
 
-    take = max(0, nl + 1 - 264)  # lines where l+264 is in range
-
     def shifted(j):
         return jnp.concatenate(
-            [cs[:, j, 264:], jnp.broadcast_to(cs[:, j, -1:], (b, nl - take))],
+            [cs[:, j, 264:], jnp.broadcast_to(tot[:, j], (b, 264))],
             axis=-1,
         )
 
