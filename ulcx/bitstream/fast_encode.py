@@ -173,9 +173,11 @@ def prepare_fast(blk: AnalyzedBlock, cfg: CodecConfig) -> FastBlockData:
     # on indices; the +264 branch is a static shifted slice
     in_window = (g + 264.0) < end_line
 
+    take = max(0, nl - 264)  # lines where l+264 is an in-range index
+
     def shifted(j):
         return jnp.concatenate(
-            [cs[:, j, 264:], jnp.broadcast_to(tot[:, j], (b, 264))],
+            [cs[:, j, 264:], jnp.broadcast_to(tot[:, j], (b, nl - take))],
             axis=-1,
         )
 
