@@ -63,7 +63,39 @@ def main():
         np.savez(cache, streams=streams_np, win=win)
     streams = jnp.asarray(streams_np)
 
+    def make_real(stage):
+        """Variants over the REAL decode_block_fast / stream path."""
+        from ulcx.bitstream.fast_decode import decode_block_fast
+        from ulcx.codec.decoder import decode_stream_batched
+
+        if stage == "full":
+            def fn(_):
+                pcm, bits, corrupt = decode_stream_batched(streams, t, win, cfg)
+                return (jnp.sum(pcm), jnp.sum(bits))
+
+            return jax.jit(fn)
+
+        def step(state, _):
+            offset, rng = state
+            windows = jax.vmap(
+                lambda s, o: lax.dynamic_slice(s, (o,), (win,))
+            )(streams, offset)
+            coefs, wc, bits, corrupt, rng = decode_block_fast(
+                windows, rng, cfg, False
+            )
+            offset = offset + (bits + 7) // 8
+            return (offset, rng), (jnp.sum(coefs), jnp.sum(bits))
+
+        def fn(_):
+            init = (jnp.zeros(b, jnp.int32), jnp.full(b, 1234567, jnp.uint32))
+            _, outs = lax.scan(step, init, None, length=t)
+            return outs
+
+        return jax.jit(fn)
+
     def make(stage):
+        if stage in ("blkfast", "full"):
+            return make_real(stage)
         def step(state, _):
             offset, lap, prev_ss, rng = state
             windows = jax.vmap(

@@ -36,24 +36,6 @@ def _ffill(values, flag, init):
     return jnp.where(f, v, jnp.asarray(init, values.dtype))
 
 
-def _ffill_multi(flag, arrays):
-    """Forward fill several arrays under one flag in a single
-    associative scan (one scan = one set of log-rounds instead of one
-    per array; per-fused-kernel fixed costs dominate on this backend)."""
-
-    def combine(l, r):
-        fl = l[0] | r[0]
-        return (fl,) + tuple(
-            jnp.where(r[0], rv, lv) for lv, rv in zip(l[1:], r[1:])
-        )
-
-    masked = tuple(jnp.where(flag, a, 0) for a in arrays)
-    out = lax.associative_scan(
-        combine, (flag,) + masked, axis=flag.ndim - 1
-    )
-    return out[0], out[1:]
-
-
 def _to_lanes(x, b):
     """[B, T] -> [G, T, 128] (pad batch to a multiple of 128)."""
     g = -(-b // pd.LANES)
@@ -103,57 +85,56 @@ def decode_block_fast(windows, rng_state, cfg: CodecConfig, interpret=False):
     consumed = consumed.reshape(-1)[:b]
     corrupt = corrupt.reshape(-1)[:b]
 
-    # --- expansion: place records at their start positions, then one
-    # fused forward fill. Record starts are unique, all payloads are
-    # non-negative, and non-records carry zeros — so three scatter-max
-    # ops with a zero background replace four masked scatter-sets
-    # (meta packs type|start<<3; lvl/dcy ride as their own f32 bits) ---
+    # --- expansion: place records at their start positions (3 masked
+    # scatter-sets: a packed meta word + sparse lvl/dcy), forward-fill
+    # ONLY the 1-bit draw flag outside (one packed-int associative
+    # scan); the value fill, RNG replay, and coefficient assembly all
+    # fuse into one Pallas kernel (pd.rng_expand_kernel_call) ---
     rtype = (rec >> 26) & 0x7
     start = rec & 0x1FFF
     emit = rtype != 0
     bidx = jnp.arange(b)[:, None]
     tgt = jnp.where(emit, start, p_tot)  # non-records -> drop slot
 
-    meta = jnp.where(emit, rtype | (start << 3), 0)
+    draw_rec = (rtype == REC_NOISE) | (rtype == REC_TAIL)
+    meta = jnp.where(
+        emit,
+        1 | (draw_rec.astype(jnp.int32) << 1)
+        | ((rtype == REC_COEF).astype(jnp.int32) << 2),
+        0,
+    )
     zi = jnp.zeros((b, p_tot), jnp.int32)
     zf = jnp.zeros((b, p_tot), jnp.float32)
     meta_s = zi.at[bidx, tgt].set(meta, mode="drop")
     lvl_s = zf.at[bidx, tgt].set(lvl, mode="drop")
     dcy_s = zf.at[bidx, tgt].set(dcy, mode="drop")
-    mark = meta_s != 0
+    mark = (meta_s & 1) == 1
 
-    pos = jnp.arange(p_tot)[None, :]
-    _, (meta_p, lvl_p, dcy_p) = _ffill_multi(mark, (meta_s, lvl_s, dcy_s))
-    type_p = meta_p & 0x7
-    start_p = meta_p >> 3
-    k = (pos - start_p).astype(jnp.float32)
+    # forward fill of the draw bit: packed single-array scan
+    def combine(l, r):
+        return jnp.where((r & 1) == 1, r, l)
 
-    is_draw = (type_p == REC_NOISE) | (type_p == REC_TAIL)
-    is_start = mark
-    flags = is_draw.astype(jnp.int32) | (is_start.astype(jnp.int32) << 1)
+    filled = lax.associative_scan(combine, meta_s, axis=1)
+    draw_p = (filled >> 1) & 1
+    # kernel flags: bit0 draw, bit1 record start, bit2 coef record
+    flags = draw_p | (meta_s & 1) << 1 | (meta_s & 4)
 
     flags_l, g2, pad2 = _to_lanes(flags, b)
+    lvl_l, _, _ = _to_lanes(lvl_s, b)
+    dcy_l, _, _ = _to_lanes(dcy_s, b)
     seed_l = (
         jnp.concatenate([rng_state, jnp.full((pad2,), 1234567, jnp.uint32)])
         if pad2
         else rng_state
     ).reshape(g2, pd.LANES)
 
-    def one_rng(fl, sd):
-        return pd.rng_kernel_call(fl, sd, p_tot, interpret)
+    def one_rng(fl, lv, dc, sd):
+        return pd.rng_expand_kernel_call(fl, lv, dc, sd, p_tot, interpret)
 
-    sign, new_seed = jax.vmap(one_rng)(flags_l, seed_l)
-    sign = _from_lanes(sign, b)
+    coefs, new_seed = jax.vmap(one_rng)(flags_l, lvl_l, dcy_l, seed_l)
+    coefs = _from_lanes(coefs, b)
     new_seed = new_seed.reshape(-1)[:b]
 
-    mag = jnp.where(
-        type_p == REC_TAIL,
-        lvl_p * jnp.exp(k * jnp.log(jnp.maximum(dcy_p, 1e-30))),
-        lvl_p,
-    )
-    coefs = jnp.where(
-        type_p == REC_COEF, lvl_p, jnp.where(is_draw, mag * sign, 0.0)
-    )
     coefs = jnp.where(corrupt[:, None] == 1, 0.0, coefs)
     bits = 4 * (hdr + consumed)
     return coefs.reshape(b, c, n), wc, bits, corrupt == 1, new_seed

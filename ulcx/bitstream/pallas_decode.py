@@ -342,3 +342,75 @@ def rng_kernel_call(flags, seed, p_tot: int, interpret: bool = False):
         interpret=interpret,
     )(flags, jnp.broadcast_to(seed[None, :], (8, LANES)).astype(jnp.uint32))
     return sign, seed_out[0]
+
+
+def _rng_expand_kernel(flags_ref, lvl_ref, dcy_ref, seed_ref,
+                       coef_ref, seed_out_ref, *, p_tot: int):
+    """Fused RNG replay + record fill + coefficient assembly.
+
+    flags[p]: bit0 = draw (position inside a noise/tail run, from the
+    outside 1-bit forward fill), bit1 = record start, bit2 = the start
+    is a coded-coefficient record. lvl/dcy are SPARSE (values at record
+    starts only); the fill is carried in-register. Tail decay runs as
+    the reference's sequential ``mag *= r`` (ulcDecoder.c:186), which
+    is also closer to the C than the closed-form exp(k*log r).
+
+    Every carried value updates under predicates derived from INPUTS
+    (mark/draw bits), never from another carry — the acyclic shape the
+    Mosaic backend compiles (NOTES.md Mosaic bug).
+    """
+
+    def body(p, carry):
+        state, parity, lvl, mag, dcy = carry
+        f = flags_ref[p, :]
+        draw = (f & 1) == 1
+        st = (f & 2) == 2
+        is_coef = (f & 4) == 4
+        lvl_in = lvl_ref[p, :]
+        dcy_in = dcy_ref[p, :]
+        lvl = jnp.where(st, lvl_in, lvl)
+        dcy = jnp.where(st, dcy_in, dcy)
+        mag = jnp.where(st, lvl_in, mag)
+        s2 = state ^ (state << 13)
+        s2 = s2 ^ (s2 >> 17)
+        s2 = s2 ^ (s2 << 5)
+        state = jnp.where(draw, s2, state)
+        bit = (state >> 31) & jnp.uint32(1)
+        parity = jnp.where(st, jnp.uint32(0), parity)
+        parity = jnp.where(draw, parity ^ bit, parity)
+        sign = jnp.where(parity == 1, -1.0, 1.0).astype(jnp.float32)
+        coef_ref[p, :] = jnp.where(
+            is_coef, lvl, jnp.where(draw, mag * sign, 0.0)
+        )
+        # decay only inside tail runs (noise records carry dcy == 0)
+        mag = jnp.where(draw & (dcy != 0.0), mag * dcy, mag)
+        return state, parity, lvl, mag, dcy
+
+    z = jnp.zeros((LANES,), jnp.float32)
+    state, _, _, _, _ = lax.fori_loop(
+        0, p_tot, body,
+        (seed_ref[0, :], jnp.zeros((LANES,), jnp.uint32), z, z, z),
+    )
+    seed_out_ref[0, :] = state
+
+
+def rng_expand_kernel_call(flags, lvl_s, dcy_s, seed, p_tot: int,
+                           interpret: bool = False):
+    """flags/lvl_s/dcy_s [P, LANES]; seed [LANES] u32.
+    Returns (coef [P, LANES] f32, new_seed [LANES] u32)."""
+    kern = functools.partial(_rng_expand_kernel, p_tot=p_tot)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    coef, seed_out = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((p_tot, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((8, LANES), jnp.uint32),
+        ),
+        in_specs=[vspec, vspec, vspec, vspec],
+        out_specs=(vspec, vspec),
+        interpret=interpret,
+    )(
+        flags, lvl_s, dcy_s,
+        jnp.broadcast_to(seed[None, :], (8, LANES)).astype(jnp.uint32),
+    )
+    return coef, seed_out[0]
