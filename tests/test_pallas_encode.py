@@ -132,3 +132,50 @@ def test_kernel_v2_matches_v1(rng):
         nb = int(want_bits) // 8
         assert int(sizes[i]) == int(want_bits), (i, wcs[i])
         assert np.asarray(bys)[i, :nb].tobytes() == np.asarray(want_by)[:nb].tobytes()
+
+
+def test_kernel_v3_matches_scan(rng):
+    """128-stream transposed kernels (candidates in sublanes, no input
+    replication) == scan path (sizes + bytes)."""
+    from ulcx.bitstream.fast_encode import (
+        cand_count,
+        kernel_sizes,
+        materialize_fast,
+        rate_search_fast,
+    )
+
+    nb = 128
+    assert cand_count(nb) == 8
+    wcs = [int(w) for w in rng.choice([0x10, 0x28, 0x59, 0xFB, 0x3A, 0x6C], nb)]
+    batched, bds, _ = _batched_blocks(rng, wcs)
+    fb = prepare_fast(batched, CFG)
+    nout = jnp.broadcast_to(
+        (jnp.arange(8) * 64 + 16)[None, :], (nb, 8)
+    ).astype(jnp.int32)
+    got = np.asarray(
+        jax.jit(lambda f, n: total_sizes(f, n, CFG, interpret=True))(fb, nout)
+    )
+    size_scan = jax.jit(lambda bd, k: encode_pass_size(bd, k, "segment"))
+    for i in range(0, nb, 11):
+        for j in range(0, 8, 3):
+            want = int(size_scan(bds[i], nout[i, j]))
+            assert got[i, j] == want, (i, j, wcs[i], got[i, j], want)
+
+    n_out = jnp.asarray(rng.integers(20, 2 * N - 1, nb).astype(np.int32))
+    sizes, bys = jax.jit(
+        lambda f, n: materialize_fast(f, n, CFG, 2 * C * N, interpret=True)
+    )(fb, n_out)
+    for i in range(0, nb, 13):
+        want_bits, want_by = jax.jit(
+            lambda bd, k: encode_pass_materialize(bd, k, 2 * C * N, "segment")
+        )(bds[i], n_out[i])
+        nbytes = int(want_bits) // 8
+        assert int(sizes[i]) == int(want_bits), (i, wcs[i])
+        assert np.asarray(bys)[i, :nbytes].tobytes() == np.asarray(want_by)[:nbytes].tobytes()
+
+    # 4-round 8-candidate ladder lands on the largest feasible count
+    n_nz = jnp.full(nb, 2 * N, jnp.int32)
+    budget = jnp.full(nb, int(N * 128.0 * 1000 / 44100), jnp.int32)
+    n_sel = rate_search_fast(fb, n_nz, budget, CFG, interpret=True)
+    s_sel, _ = materialize_fast(fb, n_sel, CFG, 2 * C * N, interpret=True)
+    assert (np.asarray(s_sel) <= int(N * 128.0 * 1000 / 44100) + 7).all()

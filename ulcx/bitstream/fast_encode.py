@@ -272,12 +272,67 @@ def _from_lanes2(x, b):
     return y.reshape((b, pe2.N_CAND) + shp)
 
 
+def _to_lanes3(x, b):
+    """[B, P] -> [G3, P, 1, 128]: stream = g*128 + lane. NO candidate
+    replication — the kernel broadcasts over the sublane dim."""
+    from ulcx.bitstream import pallas_encode3 as pe3
+
+    g = b // pe3.N_STREAMS
+    return x.reshape(g, pe3.LAN, -1).transpose(0, 2, 1)[:, :, None, :]
+
+
+def _from_lanes3(x, b):
+    """[G3, ..., 8, 128] -> [B, 8, ...]."""
+    from ulcx.bitstream import pallas_encode3 as pe3
+
+    g = b // pe3.N_STREAMS
+    shp = x.shape[1:-2]
+    y = x.reshape((g,) + shp + (pe3.SUBC, pe3.LAN))
+    nd = len(shp)
+    perm = (0, nd + 2, nd + 1) + tuple(range(1, nd + 1))
+    y = y.transpose(perm)  # [G3, LAN, SUBC, ...]
+    return y.reshape((b, pe3.N_CAND) + shp)
+
+
+def cand_count(b: int) -> int:
+    """Rate-search candidates per round for this batch's kernel path
+    (v3: candidates ride the 8 sublanes; v1/v2: the 16 lane groups)."""
+    from ulcx.bitstream import pallas_encode3 as pe3
+
+    return pe3.N_CAND if b % pe3.N_STREAMS == 0 else pe.N_CAND
+
+
 def kernel_sizes(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
                  interpret=False):
-    """nout [B, 16] i32 candidate counts. Returns (token_nybbles [B,16],
-    slotpq [B,16,S], slotlc [B,16,S], nyb [B,16,P]|None)."""
+    """nout [B, K] i32 candidate counts (K = cand_count(B)). Returns
+    (token_nybbles [B,K], slotpq [B,K,S], slotlc [B,K,S],
+    nyb [B,K,P]|None)."""
     b, p_tot = fb.coef.shape
     n_slots = 8 * cfg.n_chan
+    if b % 128 == 0 and p_tot % 128 == 0:
+        from ulcx.bitstream import pallas_encode3 as pe3
+
+        coef_l = _to_lanes3(fb.coef, b)
+        amp_l = _to_lanes3(fb.amp_noise, b)
+        aux_l = _to_lanes3(fb.aux.astype(jnp.int32), b)
+        # nout [B, 8] -> [G3, SUBC, LAN]: candidate in sublane,
+        # stream in lane
+        nout_l = nout.reshape(b // pe3.LAN, pe3.LAN, pe3.N_CAND).transpose(
+            0, 2, 1
+        )
+
+        def one3(no, cf, am, ax):
+            return pe3.encode_kernel_call3(
+                no, cf, am, ax, p_tot, n_slots, materialize, interpret
+            )
+
+        bits, slotpq, slotlc, nyb = jax.vmap(one3)(nout_l, coef_l, amp_l, aux_l)
+        bits = _from_lanes3(bits[:, None], b)[:, :, 0]
+        slotpq = _from_lanes3(slotpq, b)
+        slotlc = _from_lanes3(slotlc, b)
+        nyb_out = _from_lanes3(nyb, b) if materialize else None
+        return bits, slotpq, slotlc, nyb_out
+
     if b % 64 == 0 and p_tot % 128 == 0:
         from ulcx.bitstream import pallas_encode2 as pe2
 
@@ -404,7 +459,7 @@ def rate_search_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
 
     b = fb.coef.shape[0]
     p_tot = fb.coef.shape[1]
-    k = pe.N_CAND
+    k = cand_count(b)
     rounds = max(1, int(math.ceil(math.log(p_tot, k))))
     lo = jnp.zeros(b, jnp.int32)
     hi = n_nz.astype(jnp.int32)
@@ -481,7 +536,7 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
     """Assemble byte streams for chosen n_out [B]. Returns
     (size_bits [B], bytes [B, max_bytes])."""
     b = fb.coef.shape[0]
-    nout16 = jnp.broadcast_to(n_out[:, None], (b, pe.N_CAND))
+    nout16 = jnp.broadcast_to(n_out[:, None], (b, cand_count(b)))
     bits, slotpq, slotlc, nyb = kernel_sizes(fb, nout16, cfg, True, interpret)
     _, t_pos, t_nyb, t_valid = tail_info(fb, slotpq, slotlc, cfg)
     return _assemble(fb, nyb[:, 0], t_pos[:, 0], t_nyb[:, 0], t_valid[:, 0], max_bytes)
@@ -496,7 +551,7 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     import math
 
     b, p_tot = fb.coef.shape
-    k = pe.N_CAND
+    k = cand_count(b)
     rounds = max(1, int(math.ceil(math.log(p_tot, k))))
     lo = jnp.zeros(b, jnp.int32)
     hi = n_nz.astype(jnp.int32)
@@ -533,7 +588,7 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
         # to a slow generic gather on TPU; a split-int one-hot einsum
         # was A/B-tested and is no faster than the where-chain)
         out = x[:, 0]
-        for j in range(1, pe.N_CAND):
+        for j in range(1, k):
             m = (best_j == j).reshape((b,) + (1,) * (x.ndim - 2))
             out = jnp.where(m, x[:, j], out)
         return out
