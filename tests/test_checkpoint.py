@@ -58,3 +58,21 @@ def test_decoder_checkpoint_resume(tmp_path, rng):
 
     got = np.concatenate([np.asarray(pcm_a), np.asarray(pcm_b)])
     assert np.abs(got - np.asarray(pcm_all)).max() == 0.0
+
+
+def test_treedef_mismatch_rejected(tmp_path):
+    """Loading a carry with the wrong pytree structure raises instead
+    of silently reinterpreting leaves."""
+    import pytest
+    from ulcx.analysis.block import EncoderCarry
+    from ulcx.codec.decoder import DecoderCarry
+    from ulcx.utils.checkpoint import load_carry, save_carry
+    from ulcx.utils.config import CodecConfig
+
+    cfg = CodecConfig(rate_hz=44100, n_chan=2, block_size=256)
+    p = str(tmp_path / "c.npz")
+    save_carry(p, EncoderCarry.init(cfg))
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_carry(p, DecoderCarry.init(cfg))
+    # matching structure loads fine
+    load_carry(p, EncoderCarry.init(cfg))

@@ -28,9 +28,23 @@ def save_carry(path: str, carry) -> None:
 
 def load_carry(path: str, like):
     """Load a carry saved by save_carry; ``like`` provides the pytree
-    structure and dtypes (e.g. EncoderCarry.init(cfg))."""
+    structure and dtypes (e.g. EncoderCarry.init(cfg)). The stored
+    treedef must match ``like``'s — a structure mismatch (e.g. loading
+    an encoder carry as a decoder carry, or an old layout) raises
+    instead of silently reinterpreting leaves."""
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like)
+    stored_def = bytes(data["__treedef__"]).decode()
+    if stored_def != str(treedef):
+        raise ValueError(
+            "checkpoint pytree structure mismatch:\n"
+            f"  stored:   {stored_def}\n  expected: {treedef}"
+        )
+    n_stored = sum(1 for k in data.files if k.startswith("leaf_"))
+    if n_stored != len(leaves):
+        raise ValueError(
+            f"checkpoint has {n_stored} leaves, expected {len(leaves)}"
+        )
     loaded = []
     for i, ref in enumerate(leaves):
         arr = data[f"leaf_{i}"]
