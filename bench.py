@@ -62,7 +62,18 @@ def make_corpus(b: int, t: int, n: int, rate_hz: float = 44100.0) -> np.ndarray:
 
 
 def main():
+    T0 = time.perf_counter()
     import jax
+
+    # persistent jit cache: the encode+decode compiles take minutes
+    # through the remote compile helper; cached reruns skip them
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     from ulcx.parallel.mesh import batch_decode, batch_encode
     from ulcx.utils.config import CodecConfig
@@ -97,7 +108,7 @@ def main():
         best = min(best, time.perf_counter() - t0)
     enc_rtf = audio_seconds / best
 
-    if do_decode:
+    def decode_metric():
         # assemble contiguous byte streams on the host (container framing
         # is host-side file I/O in the tools too), then time batch decode
         sizes = np.asarray(out.size_bits)
@@ -136,6 +147,22 @@ def main():
                 }
             )
         )
+
+    if do_decode:
+        # the decode metric must never cost the encode headline: skip
+        # it when the encode phase already consumed most of the run
+        # budget (compiles through the remote helper take minutes and
+        # are not cacheable), and shield the encode line from any
+        # decode-side failure
+        deadline = float(os.environ.get("ULCX_BENCH_DECODE_DEADLINE", "480"))
+        elapsed = time.perf_counter() - T0
+        if elapsed > deadline:
+            print(f"decode metric skipped: {elapsed:.0f}s elapsed > {deadline:.0f}s deadline", flush=True)
+        else:
+            try:
+                decode_metric()
+            except Exception as e:  # pragma: no cover
+                print(f"decode metric skipped: {e}", flush=True)
 
     print(
         json.dumps(
