@@ -145,7 +145,7 @@ def test_kernel_v3_matches_scan(rng):
     )
 
     nb = 128
-    assert cand_count(nb) == 8
+    assert cand_count(nb, 2 * N) == 8
     wcs = [int(w) for w in rng.choice([0x10, 0x28, 0x59, 0xFB, 0x3A, 0x6C], nb)]
     batched, bds, _ = _batched_blocks(rng, wcs)
     fb = prepare_fast(batched, CFG)

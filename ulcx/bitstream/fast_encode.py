@@ -294,12 +294,19 @@ def _from_lanes3(x, b):
     return y.reshape((b, pe3.N_CAND) + shp)
 
 
-def cand_count(b: int) -> int:
+def _use_v3(b: int, p_tot: int) -> bool:
+    """v3 dispatch predicate (must mirror kernel_sizes exactly)."""
+    from ulcx.bitstream import pallas_encode3 as pe3
+
+    return b % pe3.N_STREAMS == 0 and p_tot % 128 == 0
+
+
+def cand_count(b: int, p_tot: int) -> int:
     """Rate-search candidates per round for this batch's kernel path
     (v3: candidates ride the 8 sublanes; v1/v2: the 16 lane groups)."""
     from ulcx.bitstream import pallas_encode3 as pe3
 
-    return pe3.N_CAND if b % pe3.N_STREAMS == 0 else pe.N_CAND
+    return pe3.N_CAND if _use_v3(b, p_tot) else pe.N_CAND
 
 
 def kernel_sizes(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
@@ -309,7 +316,7 @@ def kernel_sizes(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
     nyb [B,K,P]|None)."""
     b, p_tot = fb.coef.shape
     n_slots = 8 * cfg.n_chan
-    if b % 128 == 0 and p_tot % 128 == 0:
+    if _use_v3(b, p_tot):
         from ulcx.bitstream import pallas_encode3 as pe3
 
         coef_l = _to_lanes3(fb.coef, b)
@@ -459,7 +466,7 @@ def rate_search_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
 
     b = fb.coef.shape[0]
     p_tot = fb.coef.shape[1]
-    k = cand_count(b)
+    k = cand_count(b, p_tot)
     rounds = max(1, int(math.ceil(math.log(p_tot, k))))
     lo = jnp.zeros(b, jnp.int32)
     hi = n_nz.astype(jnp.int32)
@@ -536,7 +543,7 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
     """Assemble byte streams for chosen n_out [B]. Returns
     (size_bits [B], bytes [B, max_bytes])."""
     b = fb.coef.shape[0]
-    nout16 = jnp.broadcast_to(n_out[:, None], (b, cand_count(b)))
+    nout16 = jnp.broadcast_to(n_out[:, None], (b, cand_count(b, fb.coef.shape[1])))
     bits, slotpq, slotlc, nyb = kernel_sizes(fb, nout16, cfg, True, interpret)
     _, t_pos, t_nyb, t_valid = tail_info(fb, slotpq, slotlc, cfg)
     return _assemble(fb, nyb[:, 0], t_pos[:, 0], t_nyb[:, 0], t_valid[:, 0], max_bytes)
@@ -551,7 +558,7 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     import math
 
     b, p_tot = fb.coef.shape
-    k = cand_count(b)
+    k = cand_count(b, p_tot)
     rounds = max(1, int(math.ceil(math.log(p_tot, k))))
     lo = jnp.zeros(b, jnp.int32)
     hi = n_nz.astype(jnp.int32)

@@ -123,6 +123,24 @@ class WavReader:
             list_handlers=[],
         )
         ck_read(self.f, state, None, [wave_list])
+        if state["fmt"] is None or state["data_offset"] is None:
+            # streaming writers often leave the RIFF size field zero (or
+            # short); the declared-size walk above then finds nothing.
+            # Fall back to a flat sibling scan from offset 12 to EOF.
+            self.f.seek(0, 2)
+            file_end = self.f.tell()
+            pos = 12
+            while pos + 8 <= file_end:
+                self.f.seek(pos)
+                fourcc, size = struct.unpack("<4sI", self.f.read(8))
+                data_beg = pos + 8
+                if size == 0 or data_beg + size > file_end:
+                    size = file_end - data_beg  # unpatched streaming writer
+                if fourcc == b"fmt " and state["fmt"] is None:
+                    on_fmt(self.f, state, fourcc, size)
+                elif fourcc == b"data" and state["data_offset"] is None:
+                    on_data(self.f, state, fourcc, size)
+                pos = data_beg + ((size + 1) & ~1)
         fmt = state["fmt"]
         self.data_offset = state["data_offset"]
         self.data_size = state["data_size"]

@@ -90,31 +90,29 @@ def main(argv=None) -> int:
     failed = False
     from ulcx.utils.profiling import device_trace
 
-    trace_ctx = device_trace(profile_dir)
-    trace_ctx.__enter__()
-    while done < hdr.n_blocks and not failed:
-        pcm, bits_arr, corrupt, (offset, carry) = dec_fn(stream_j, offset, carry)
-        take = min(chunk, hdr.n_blocks - done)
-        corrupt_np = np.asarray(corrupt)[:take]
-        if corrupt_np.any():
-            print("ERROR: Corrupted stream.")
-            failed = True
-            take = int(np.argmax(corrupt_np))
-        pcm_np = np.asarray(pcm)[:take]  # [take, C, N]
-        wav.write_frames(pcm_np.transpose(0, 2, 1).reshape(-1))
-        done += take
-        now = time.time()
-        if now - last_print >= 0.5:
-            rt = done * n / hdr.rate_hz / max(now - t0, 1e-9)
-            print(
-                f"\rBlock {done}/{hdr.n_blocks} "
-                f"({done * 100.0 / hdr.n_blocks:.2f}% | {rt:.2f} X rt)",
-                end="",
-                flush=True,
-            )
-            last_print = now
+    with device_trace(profile_dir):
+        while done < hdr.n_blocks and not failed:
+            pcm, bits_arr, corrupt, (offset, carry) = dec_fn(stream_j, offset, carry)
+            take = min(chunk, hdr.n_blocks - done)
+            corrupt_np = np.asarray(corrupt)[:take]
+            if corrupt_np.any():
+                print("ERROR: Corrupted stream.")
+                failed = True
+                take = int(np.argmax(corrupt_np))
+            pcm_np = np.asarray(pcm)[:take]  # [take, C, N]
+            wav.write_frames(pcm_np.transpose(0, 2, 1).reshape(-1))
+            done += take
+            now = time.time()
+            if now - last_print >= 0.5:
+                rt = done * n / hdr.rate_hz / max(now - t0, 1e-9)
+                print(
+                    f"\rBlock {done}/{hdr.n_blocks} "
+                    f"({done * 100.0 / hdr.n_blocks:.2f}% | {rt:.2f} X rt)",
+                    end="",
+                    flush=True,
+                )
+                last_print = now
 
-    trace_ctx.__exit__(None, None, None)
     wav.close()
     if not failed:
         print("\nOk")

@@ -135,19 +135,24 @@ def main(argv=None) -> int:
     q: _queue.Queue = _queue.Queue(maxsize=2)
 
     def _reader():
-        left = n_blocks
-        while left > 0:
-            take = min(chunk, left)
-            frames = wav.read_frames(take * n)  # interleaved, zero padded
-            blocks = (
-                frames.reshape(take, n, c).transpose(0, 2, 1).astype(np.float32)
-            )
-            if take < chunk:  # pad to compile-once chunk shape
-                pad = np.zeros((chunk - take, c, n), np.float32)
-                blocks = np.concatenate([blocks, pad], 0)
-            q.put((blocks, take))
-            left -= take
-        q.put(None)
+        # exceptions are forwarded through the queue: if the reader died
+        # silently the main loop would block forever on q.get()
+        try:
+            left = n_blocks
+            while left > 0:
+                take = min(chunk, left)
+                frames = wav.read_frames(take * n)  # interleaved, zero padded
+                blocks = (
+                    frames.reshape(take, n, c).transpose(0, 2, 1).astype(np.float32)
+                )
+                if take < chunk:  # pad to compile-once chunk shape
+                    pad = np.zeros((chunk - take, c, n), np.float32)
+                    blocks = np.concatenate([blocks, pad], 0)
+                q.put((blocks, take))
+                left -= take
+            q.put(None)
+        except BaseException as e:  # noqa: BLE001
+            q.put(e)
 
     rd = threading.Thread(target=_reader, daemon=True)
     rd.start()
@@ -189,6 +194,8 @@ def main(argv=None) -> int:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             blocks, take = item
             encoded, carry = enc_fn(jnp.asarray(blocks), carry)
             if pending is not None:
