@@ -19,18 +19,17 @@ import numpy as np
 
 
 def main():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from ulcx.analysis.batched import analyze_block_batched
-    from ulcx.bitstream import pallas_encode as pe
     from ulcx.bitstream.fast_encode import (
-        kernel_sizes,
+        cand_count,
         prepare_fast,
         rate_search_fast,
         search_materialize_fast,
-        tail_info,
         total_sizes,
     )
     from ulcx.codec.encoder import init_carry_batched, max_block_bytes
@@ -82,8 +81,10 @@ def main():
     def step_sizes1(c, blk_t):
         c, ab = analyze_block_batched(c, blk_t, cfg)
         fb = prepare_fast(ab, cfg)
+        k = cand_count(b, 2 * n)
         cands = jnp.broadcast_to(
-            (jnp.arange(1, 17, dtype=jnp.int32) * (n // 8))[None, :], (b, 16)
+            (jnp.arange(1, k + 1, dtype=jnp.int32) * (2 * n // k))[None, :],
+            (b, k),
         )
         sizes = total_sizes(fb, cands, cfg)
         return c, (jnp.sum(sizes),)

@@ -177,5 +177,16 @@ def test_kernel_v3_matches_scan(rng):
     n_nz = jnp.full(nb, 2 * N, jnp.int32)
     budget = jnp.full(nb, int(N * 128.0 * 1000 / 44100), jnp.int32)
     n_sel = rate_search_fast(fb, n_nz, budget, CFG, interpret=True)
-    s_sel, _ = materialize_fast(fb, n_sel, CFG, 2 * C * N, interpret=True)
+    s_sel, b_sel = materialize_fast(fb, n_sel, CFG, 2 * C * N, interpret=True)
     assert (np.asarray(s_sel) <= int(N * 128.0 * 1000 / 44100) + 7).all()
+
+    # fused final round (search_materialize_fast) == separate search +
+    # materialize, bytes and all
+    from ulcx.bitstream.fast_encode import search_materialize_fast
+
+    n_f, s_f, b_f = search_materialize_fast(
+        fb, n_nz, budget, CFG, 2 * C * N, True
+    )
+    np.testing.assert_array_equal(np.asarray(n_f), np.asarray(n_sel))
+    np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_sel))
+    np.testing.assert_array_equal(np.asarray(b_f), np.asarray(b_sel))

@@ -71,7 +71,7 @@ class FastBlockData(NamedTuple):
 
     coef: jnp.ndarray        # [B, P] f32
     aux: jnp.ndarray         # [B, P] i32
-    amp_noise: jnp.ndarray   # [B, P] f32 noise amplitude (pre-quantizer)
+    amp_noise: jnp.ndarray   # [B, L] f32 noise amplitude (line domain)
     amp_lin: jnp.ndarray     # [B, L] f32 HF-ext amplitude (line domain)
     hf_meta: jnp.ndarray     # [B, L] i32: dec_q | hf_ok << 8 (line domain)
     window_ctrl: jnp.ndarray # [B]
@@ -209,9 +209,9 @@ def prepare_fast(blk: AnalyzedBlock, cfg: CodecConfig) -> FastBlockData:
     hf_ok_l = solvable & (dec_raw > 0)
     dec_q_l = jnp.minimum(dec_raw, 255)
 
-    # expand line -> position only where the kernel needs positions;
-    # HF quantities stay in the line domain (see FastBlockData)
-    amp_noise = jnp.repeat(amp_noise_l, 2, axis=-1)
+    # all amplitude/HF quantities stay in the line domain (see
+    # FastBlockData); the v3 kernels read them at lp >> 1 and the
+    # v1/v2 dispatch expands by a 2x repeat
     hf_meta = dec_q_l | (hf_ok_l.astype(jnp.int32) << 8)
 
     segdelta = jnp.matmul(oh, jnp.asarray(segdelta_t), precision=hi).astype(
@@ -228,7 +228,7 @@ def prepare_fast(blk: AnalyzedBlock, cfg: CodecConfig) -> FastBlockData:
     n_header = jnp.where((wc & 0x8) != 0, 2, 1).astype(jnp.int32)
 
     return FastBlockData(
-        coef, aux, amp_noise, amp_lin_l, hf_meta, wc, header, n_header
+        coef, aux, amp_noise_l, amp_lin_l, hf_meta, wc, header, n_header
     )
 
 
@@ -309,42 +309,58 @@ def cand_count(b: int, p_tot: int) -> int:
     return pe3.N_CAND if _use_v3(b, p_tot) else pe.N_CAND
 
 
-def kernel_sizes(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
-                 interpret=False):
-    """nout [B, K] i32 candidate counts (K = cand_count(B)). Returns
-    (token_nybbles [B,K], slotpq [B,K,S], slotlc [B,K,S],
-    nyb [B,K,P]|None)."""
-    b, p_tot = fb.coef.shape
-    n_slots = 8 * cfg.n_chan
-    if _use_v3(b, p_tot):
-        from ulcx.bitstream import pallas_encode3 as pe3
+def _v3_call(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
+             interpret=False):
+    """v3 kernel round: tail tokens priced (and, in materialize mode,
+    the stream packed) inside the kernel. nout [B, 8] i32.
 
-        coef_l = _to_lanes3(fb.coef, b)
-        amp_l = _to_lanes3(fb.amp_noise, b)
-        aux_l = _to_lanes3(fb.aux.astype(jnp.int32), b)
-        # nout [B, 8] -> [G3, SUBC, LAN]: candidate in sublane,
-        # stream in lane
-        nout_l = nout.reshape(b // pe3.LAN, pe3.LAN, pe3.N_CAND).transpose(
-            0, 2, 1
+    Returns bits [B, 8] (tails included, header excluded), plus in
+    materialize mode (word [B,8,P], widx [B,8,P], freg [B,8], fwc
+    [B,8]) — see pallas_encode3.encode_kernel_call3."""
+    from ulcx.bitstream import pallas_encode3 as pe3
+
+    b, p_tot = fb.coef.shape
+    coef_l = _to_lanes3(fb.coef, b)
+    aux_l = _to_lanes3(fb.aux.astype(jnp.int32), b)
+    ampn_l = _to_lanes3(fb.amp_noise, b)
+    hfa_l = _to_lanes3(fb.amp_lin, b)
+    hfm_l = _to_lanes3(fb.hf_meta, b)
+    # nout [B, 8] -> [G3, SUBC, LAN]: candidate in sublane, stream in lane
+    nout_l = nout.reshape(b // pe3.LAN, pe3.LAN, pe3.N_CAND).transpose(0, 2, 1)
+    hdrw = fb.header[:, 0] | (fb.header[:, 1] << 4) | (fb.n_header << 8)
+    hdr_l = jnp.broadcast_to(
+        hdrw.reshape(b // pe3.LAN, 1, pe3.LAN), (b // pe3.LAN, pe3.SUBC, pe3.LAN)
+    )
+
+    def one3(no, cf, an, ax, ha, hm, hd):
+        return pe3.encode_kernel_call3(
+            no, cf, an, ax, ha, hm, hd, p_tot, materialize, interpret
         )
 
-        def one3(no, cf, am, ax):
-            return pe3.encode_kernel_call3(
-                no, cf, am, ax, p_tot, n_slots, materialize, interpret
-            )
+    out = jax.vmap(one3)(nout_l, coef_l, ampn_l, aux_l, hfa_l, hfm_l, hdr_l)
+    bits = _from_lanes3(out[0][:, None], b)[:, :, 0]
+    if not materialize:
+        return (bits,)
+    word = _from_lanes3(out[1], b)
+    widx = _from_lanes3(out[2], b)
+    freg = _from_lanes3(out[3][:, None], b)[:, :, 0]
+    fwc = _from_lanes3(out[4][:, None], b)[:, :, 0]
+    return bits, word, widx, freg, fwc
 
-        bits, slotpq, slotlc, nyb = jax.vmap(one3)(nout_l, coef_l, amp_l, aux_l)
-        bits = _from_lanes3(bits[:, None], b)[:, :, 0]
-        slotpq = _from_lanes3(slotpq, b)
-        slotlc = _from_lanes3(slotlc, b)
-        nyb_out = _from_lanes3(nyb, b) if materialize else None
-        return bits, slotpq, slotlc, nyb_out
 
+def kernel_sizes(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
+                 interpret=False):
+    """v1/v2 kernel round. nout [B, 16] i32 candidate counts. Returns
+    (token_nybbles [B,16], slotpq [B,16,S], slotlc [B,16,S],
+    nyb [B,16,P]|None)."""
+    b, p_tot = fb.coef.shape
+    n_slots = 8 * cfg.n_chan
+    amp_pos = jnp.repeat(fb.amp_noise, 2, axis=-1)  # line -> position
     if b % 64 == 0 and p_tot % 128 == 0:
         from ulcx.bitstream import pallas_encode2 as pe2
 
         coef_l = _to_lanes2(fb.coef, b)
-        amp_l = _to_lanes2(fb.amp_noise, b)
+        amp_l = _to_lanes2(amp_pos, b)
         aux_l = _to_lanes2(fb.aux.astype(jnp.int32), b)
         nout_l = nout.reshape(b // 64, 8, 8 * pe.N_CAND)  # [G2, SUB, LAN]
         coef_l = coef_l.transpose(0, 1, 2, 3)
@@ -365,7 +381,7 @@ def kernel_sizes(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
         return bits, slotpq, slotlc, nyb_out
 
     coef_l = _to_lanes(fb.coef, b)
-    amp_l = _to_lanes(fb.amp_noise, b)
+    amp_l = _to_lanes(amp_pos, b)
     aux_l = _to_lanes(fb.aux.astype(jnp.int32), b)
     nout_l = nout.reshape(b // pe.N_STREAMS, pe.N_STREAMS * pe.N_CAND)
 
@@ -452,7 +468,12 @@ def tail_info(fb: FastBlockData, slotpq, slotlc, cfg: CodecConfig):
 
 
 def total_sizes(fb: FastBlockData, nout, cfg: CodecConfig, interpret=False):
-    """Byte-aligned block sizes in bits for candidates nout [B, 16]."""
+    """Byte-aligned block sizes in bits for candidates nout [B, K]."""
+    b, p_tot = fb.coef.shape
+    if _use_v3(b, p_tot):
+        (bits,) = _v3_call(fb, nout, cfg, False, interpret)
+        total = 4 * (bits + fb.n_header[:, None])
+        return (total + 7) & ~7
     bits, slotpq, slotlc, _ = kernel_sizes(fb, nout, cfg, False, interpret)
     t_total, _, _, _ = tail_info(fb, slotpq, slotlc, cfg)
     total = 4 * (bits + t_total + fb.n_header[:, None])
@@ -538,13 +559,40 @@ def _assemble(fb: FastBlockData, packed, t_pos, t_nyb, t_valid, max_bytes: int):
     return size_bits, by
 
 
+def _assemble_v3(word, widx, freg, fwc, max_bytes: int):
+    """Compact in-kernel-packed stream words into byte streams.
+
+    word/widx [B, P]: the emitted u32 word at each position (index 2**30
+    where no word completed there). Word indices of valid entries are
+    exactly 0..fwc-1 in position order, so one two-operand [B, P]
+    lax.sort places every completed word; the final partial register is
+    appended at index fwc with an iota compare (no scatter)."""
+    b, p_tot = word.shape
+    n_words = (2 * max_bytes) // 8
+    _, sval = lax.sort((widx, word), dimension=-1, num_keys=1)
+    iota = jnp.arange(n_words, dtype=jnp.int32)[None, :]
+    wc = fwc[:, None]
+    words = jnp.where(
+        iota < wc, sval[:, :n_words], jnp.where(iota == wc, freg[:, None], 0)
+    )
+    sh = jnp.arange(4) * 8
+    by = ((words[:, :, None] >> sh[None, None, :]) & 0xFF).astype(jnp.uint8)
+    return by.reshape(b, 4 * n_words)
+
+
 def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
                      interpret=False):
     """Assemble byte streams for chosen n_out [B]. Returns
     (size_bits [B], bytes [B, max_bytes])."""
-    b = fb.coef.shape[0]
-    nout16 = jnp.broadcast_to(n_out[:, None], (b, cand_count(b, fb.coef.shape[1])))
-    bits, slotpq, slotlc, nyb = kernel_sizes(fb, nout16, cfg, True, interpret)
+    b, p_tot = fb.coef.shape
+    k = cand_count(b, p_tot)
+    noutk = jnp.broadcast_to(n_out[:, None], (b, k))
+    if _use_v3(b, p_tot):
+        bits, word, widx, freg, fwc = _v3_call(fb, noutk, cfg, True, interpret)
+        size_bits = (4 * (bits[:, 0] + fb.n_header) + 7) & ~7
+        by = _assemble_v3(word[:, 0], widx[:, 0], freg[:, 0], fwc[:, 0], max_bytes)
+        return size_bits, by
+    bits, slotpq, slotlc, nyb = kernel_sizes(fb, noutk, cfg, True, interpret)
     _, t_pos, t_nyb, t_valid = tail_info(fb, slotpq, slotlc, cfg)
     return _assemble(fb, nyb[:, 0], t_pos[:, 0], t_nyb[:, 0], t_valid[:, 0], max_bytes)
 
@@ -577,10 +625,36 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
         lo = jnp.where(any_f, best, lo)
         hi = jnp.minimum(hi, first_bad - 1)
 
-    # final round: candidates lo + 0..15 (bracket width <= 16 after the
-    # earlier rounds for P <= 4096), fused with materialization
+    # final round: candidates lo + 0..k-1 (bracket width <= k after the
+    # earlier rounds), fused with materialization
     cands = lo[:, None] + jnp.arange(k, dtype=jnp.int32)
     cands_c = jnp.minimum(cands, jnp.maximum(jnp.maximum(hi, lo), 0)[:, None])
+
+    def sel(best_j, x):
+        # k-way select (take_along_axis over the candidate axis lowers
+        # to a slow generic gather on TPU; a split-int one-hot einsum
+        # was A/B-tested and is no faster than the where-chain)
+        out = x[:, 0]
+        for j in range(1, k):
+            m = (best_j == j).reshape((b,) + (1,) * (x.ndim - 2))
+            out = jnp.where(m, x[:, j], out)
+        return out
+
+    if _use_v3(b, p_tot):
+        bits, word, widx, freg, fwc = _v3_call(fb, cands_c, cfg, True, interpret)
+        sizes = (4 * (bits + fb.n_header[:, None]) + 7) & ~7
+        feas = (sizes <= budget[:, None]) & (cands <= jnp.maximum(hi, lo)[:, None])
+        feas = feas.at[:, 0].set(feas[:, 0] | True)  # lane 0 = lo fallback
+        jidx = jnp.arange(k)[None, :]
+        best_j = jnp.max(jnp.where(feas, jidx, 0), axis=-1)  # [B]
+        n_out = sel(best_j, cands_c)
+        size_bits = sel(best_j, sizes)
+        by = _assemble_v3(
+            sel(best_j, word), sel(best_j, widx),
+            sel(best_j, freg), sel(best_j, fwc), max_bytes,
+        )
+        return n_out, size_bits, by
+
     bits, slotpq, slotlc, nyb = kernel_sizes(fb, cands_c, cfg, True, interpret)
     t_total, t_pos, t_nyb, t_valid = tail_info(fb, slotpq, slotlc, cfg)
     sizes = (4 * (bits + t_total + fb.n_header[:, None]) + 7) & ~7
@@ -590,18 +664,9 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     best_j = jnp.max(jnp.where(feas, jidx, 0), axis=-1)  # [B]
     n_out = jnp.take_along_axis(cands_c, best_j[:, None], 1)[:, 0]
 
-    def sel(x):
-        # 16-way select (take_along_axis over the candidate axis lowers
-        # to a slow generic gather on TPU; a split-int one-hot einsum
-        # was A/B-tested and is no faster than the where-chain)
-        out = x[:, 0]
-        for j in range(1, k):
-            m = (best_j == j).reshape((b,) + (1,) * (x.ndim - 2))
-            out = jnp.where(m, x[:, j], out)
-        return out
-
-    packed = sel(nyb)
+    packed = sel(best_j, nyb)
     size_bits, by = _assemble(
-        fb, packed, sel(t_pos), sel(t_nyb), sel(t_valid), max_bytes
+        fb, packed, sel(best_j, t_pos), sel(best_j, t_nyb),
+        sel(best_j, t_valid), max_bytes
     )
     return n_out, size_bits, by

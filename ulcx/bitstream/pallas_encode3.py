@@ -40,9 +40,15 @@ CHUNK = int(os.environ.get("ULCX_KERNEL_CHUNK", "128"))
 
 # ---------------------------------------------------------------------------
 # Phase 1: forward zone scan.
+#
+# The backward pass only ever consumes the *quantizer index* derived
+# from the running zone maximum (qi = clip(floor(A - log2 runq), 5, 31)
+# — 5 bits) plus the 1-bit split flag, so phase 1 emits qi|split<<5 in
+# ONE i32 plane instead of (runq f32, split i32): half the per-candidate
+# inter-phase HBM traffic, same log count, bit-identical qi.
 
 
-def _p1(nout_ref, coef_ref, aux_ref, s1_ref, s2_ref, qmin_sc, qmax_sc):
+def _p1(nout_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -66,8 +72,14 @@ def _p1(nout_ref, coef_ref, aux_ref, s1_ref, s2_ref, qmin_sc, qmax_sc):
         split = kept & (nmax > nmin * 4.0)
         qmin = jnp.where(kept, jnp.where(split, a, nmin), qmin)
         qmax = jnp.where(kept, jnp.where(split, a, nmax), qmax)
-        s1_ref[p] = qmax
-        s2_ref[p] = split.astype(jnp.int32)
+        qi = jnp.clip(
+            jnp.floor(
+                _BQ_A - _INV_LN2 * jnp.log(jnp.maximum(qmax, 1e-38))
+            ).astype(jnp.int32),
+            5,
+            31,
+        )
+        s12_ref[p] = qi | (split.astype(jnp.int32) << 5)
         return qmin, qmax
 
     qmin, qmax = lax.fori_loop(0, CHUNK, body, (qmin_sc[...], qmax_sc[...]))
@@ -79,7 +91,7 @@ def _p1(nout_ref, coef_ref, aux_ref, s1_ref, s2_ref, qmin_sc, qmax_sc):
 # Phase 2: reverse backfill.
 
 
-def _p2(nout_ref, coef_ref, aux_ref, s1_ref, s2in_ref, state_ref, st_sc):
+def _p2(nout_ref, coef_ref, aux_ref, s12_ref, state_ref, st_sc):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -101,17 +113,11 @@ def _p2(nout_ref, coef_ref, aux_ref, s1_ref, s2in_ref, state_ref, st_sc):
         rank = aux & 0x1FFF
         segdelta = (aux >> 13) & 0x1FFF
         kept = rank < nout
-        runq = s1_ref[lp]
-        split_p = s2in_ref[lp]
+        s12 = s12_ref[lp]
+        split_p = (s12 >> 5) & 1
         diff_seg = nk >= p + segdelta
         zone_end = kept & ((nk >= SENT) | (nk_split == 1) | diff_seg)
-        qi_new = jnp.clip(
-            jnp.floor(
-                _BQ_A - _INV_LN2 * jnp.log(jnp.maximum(runq, 1e-38))
-            ).astype(jnp.int32),
-            5,
-            31,
-        )
+        qi_new = s12 & 0x1F
         cur_qi = jnp.where(zone_end, qi_new, cur_qi)
         scale = _exp2i(cur_qi)
         coded = kept & (jnp.abs(coef_ref[lp]) * scale >= 2.5)
@@ -134,12 +140,29 @@ def _p2(nout_ref, coef_ref, aux_ref, s1_ref, s2in_ref, state_ref, st_sc):
 
 
 # ---------------------------------------------------------------------------
-# Phase 3: forward emission walk.
+# Phase 3: forward emission walk with in-kernel tail pricing + packing.
+#
+# Round-2 measured the post-kernel chain (tail_info's [B,16S] gathers +
+# the [B,7P] sort-assemble) at ~150 ms of the 396 ms budget. Both fold
+# into the walk:
+#  - tail tokens (ulcEncoder_NoiseFill.c:41-94 pricing; stop/zero-tail
+#    codes of ulcEncoder_Encode.c) are emitted at the first in-segment
+#    position past the last coded coefficient — the walk knows it is
+#    there (`is_tail`) the moment it arrives, so the token is priced and
+#    packed inline and `bits` already includes it;
+#  - in materialize mode a per-lane nybble shift register (one u32 = 8
+#    nybbles) accumulates the stream; each completed u32 word is emitted
+#    at the *grid-uniform* position index together with its running word
+#    index, and a single [B, P] two-operand sort outside compacts the
+#    words (per-lane VMEM offsets — the round-2 blocker — never arise).
 
 
-def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, state_ref,
-        bits_ref, slotpq_ref, slotlc_ref, nyb_ref, st_sc,
-        *, slot_len: int, materialize: bool):
+def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
+        hfmeta_ref, state_ref, *rest, materialize: bool):
+    if materialize:
+        (hdr_ref, bits_ref, word_ref, widx_ref, freg_ref, fwc_ref, st_sc) = rest
+    else:
+        (bits_ref, st_sc) = rest
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -147,14 +170,21 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, state_ref,
         st_sc[0] = jnp.zeros((SUBC, LAN), jnp.int32)            # covered
         st_sc[1] = jnp.full((SUBC, LAN), -1, jnp.int32)         # prev_q
         st_sc[2] = jnp.zeros((SUBC, LAN), jnp.int32)            # bits
-        st_sc[3] = jnp.full((SUBC, LAN), -1, jnp.int32)         # last_coded
-        if not materialize:
-            nyb_ref[0] = jnp.zeros((SUBC, LAN), jnp.int32)
+        st_sc[3] = jnp.zeros((SUBC, LAN), jnp.int32)            # tail_done
+        if materialize:
+            h = jnp.broadcast_to(hdr_ref[...], (SUBC, LAN))
+            nh = h >> 8
+            st_sc[4] = jnp.where(nh == 2, h & 0xFF, h & 0xF)    # reg
+            st_sc[5] = nh                                       # fill
+            st_sc[6] = jnp.zeros((SUBC, LAN), jnp.int32)        # wcount
 
     base = j * CHUNK
 
     def body(lp, carry):
-        covered, prev_q, bits, last_coded = carry
+        if materialize:
+            covered, prev_q, bits, tail_done, reg, fill, wcount = carry
+        else:
+            covered, prev_q, bits, tail_done = carry
         p = base + lp
         aux = aux_ref[lp]
         segdelta = (aux >> 13) & 0x1FFF
@@ -165,6 +195,7 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, state_ref,
         coded = (srow >> 22) & 1
 
         prev_q = jnp.where(segstart == 1, jnp.int32(-1), prev_q)
+        tail_done = jnp.where(segstart == 1, jnp.int32(0), tail_done)
         skip = p < covered
         coded_ev = (~skip) & (coded == 1)
         is_tail = (ncp - p) >= segdelta
@@ -185,7 +216,7 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, state_ref,
         qn1 = jnp.where(c0 < 0, -qn1, qn1)
         qn2 = jnp.minimum(_cq_unsigned(jnp.abs(c1) * scale), 7)
         qn2 = jnp.where(c1 < 0, -qn2, qn2)
-        amp = amp_ref[lp]
+        amp = amp_ref[lp >> 1]
         nq_est = jnp.where(amp > 0, jnp.minimum(_cq_unsigned(amp * scale), 8), 0)
 
         do_resc = (
@@ -216,8 +247,33 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, state_ref,
             coded_ev, p + 1, jnp.where(gap_ev, p + run_n, covered)
         )
         new_prev_q = jnp.where(need_q, qq, prev_q)
-        bits = bits + cnt
-        last_coded = jnp.where(coded_ev, p, last_coded)
+
+        # --- tail token (fires exactly at p_tail = max(last_coded+1,
+        # seg_start): the first in-segment position with nothing coded
+        # ahead; same pricing as the former tail_info) ---
+        tail_ev = (coded == 0) & is_tail & (tail_done == 0)
+        n_tail = segdelta
+        pq_valid = prev_q >= 0
+        meta = hfmeta_ref[lp >> 1]
+        hfok = (meta >> 8) == 1
+        dec_t = meta & 0xFF
+        pq_scale = _exp2i(jnp.clip(prev_q, 0, 31))
+        amp_t = hfamp_ref[lp >> 1]
+        nq_hf = jnp.minimum(_cq_unsigned(amp_t * pq_scale * 4.0), 16)
+        do_hf = tail_ev & pq_valid & (n_tail >= 16) & hfok & (nq_hf > 0)
+        do_stop = tail_ev & (n_tail > 4) & (~do_hf)
+        do_zt = tail_ev & (n_tail > 0) & (n_tail <= 4)
+        cnt_tail = jnp.where(
+            do_hf,
+            5,
+            jnp.where(
+                do_stop,
+                jnp.where(pq_valid, 3, 2),
+                jnp.where(do_zt, 2, 0),
+            ),
+        )
+        tail_done = jnp.where(tail_ev, jnp.int32(1), tail_done)
+        bits = bits + cnt + cnt_tail
 
         if materialize:
             qv0 = jnp.where(lead == 1, 0xF, jnp.where(ext_q == 1, 0xE, s))
@@ -254,40 +310,85 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, state_ref,
                 else:
                     val = tv & 0xF
                 packed = packed | jnp.where(k < cnt, val << (4 * k), 0)
-            nyb_ref[lp] = packed | (cnt << 28)
+            tail_packed = jnp.where(
+                do_hf,
+                0xF
+                | (0xF << 4)
+                | (((nq_hf - 1) & 0xF) << 8)
+                | (((dec_t >> 4) & 0xF) << 12)
+                | ((dec_t & 0xF) << 16),
+                jnp.where(
+                    do_stop,
+                    jnp.where(pq_valid, 0xF | (0xE << 4) | (0xF << 8),
+                              0xE | (0xF << 4)),
+                    0x0 | (jnp.clip(n_tail - 1, 0, 0xF) << 4),
+                ),
+            )
+            pos_packed = jnp.where(
+                tail_ev, jnp.where(cnt_tail > 0, tail_packed, 0), packed
+            )
+            pos_cnt = cnt + cnt_tail
 
-        is_slot_end = (p + 1) % slot_len == 0
-        @pl.when(is_slot_end)
-        def _():
-            slot = (p + 1) // slot_len - 1
-            slotpq_ref[slot] = new_prev_q
-            slotlc_ref[slot] = last_coded
+            # per-lane nybble shift register: one u32 = 8 nybbles.
+            # Variable shifts lower poorly on Mosaic (round-2 A/B), so
+            # both shift-by-fill forms are 8-way static-select chains.
+            lo_add = pos_packed  # fill == 0
+            for f in range(1, 8):
+                lo_add = jnp.where(fill == f, pos_packed << (4 * f), lo_add)
+            residue = jnp.zeros((SUBC, LAN), jnp.int32)  # fill == 0
+            for f in range(1, 8):
+                residue = jnp.where(
+                    fill == f, pos_packed >> (4 * (8 - f)), residue
+                )
+            full = reg | lo_add
+            newfill = fill + pos_cnt
+            crossed = newfill >= 8
+            word_ref[lp] = full
+            widx_ref[lp] = jnp.where(crossed, wcount, jnp.int32(2**30))
+            reg = jnp.where(crossed, residue, full)
+            fill = newfill & 7
+            wcount = wcount + crossed.astype(jnp.int32)
+            return new_covered, new_prev_q, bits, tail_done, reg, fill, wcount
 
-        return new_covered, new_prev_q, bits, last_coded
+        return new_covered, new_prev_q, bits, tail_done
 
-    out = lax.fori_loop(0, CHUNK, body, (st_sc[0], st_sc[1], st_sc[2], st_sc[3]))
-    for i in range(4):
+    n_carry = 7 if materialize else 4
+    out = lax.fori_loop(
+        0, CHUNK, body, tuple(st_sc[i] for i in range(n_carry))
+    )
+    for i in range(n_carry):
         st_sc[i] = out[i]
     bits_ref[...] = out[2]
+    if materialize:
+        freg_ref[...] = out[4]
+        fwc_ref[...] = out[6]
 
 
 # ---------------------------------------------------------------------------
 # Caller.
 
 
-def encode_kernel_call3(nout, coef, amp, aux, p_tot: int, n_slots: int,
-                        materialize: bool, interpret: bool = False):
+def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
+                        p_tot: int, materialize: bool,
+                        interpret: bool = False):
     """v3 invocation: 128 streams x 8 candidates.
 
-    nout [SUBC, LAN] i32; coef/amp [P, 1, LAN] f32; aux [P, 1, LAN] i32.
-    Returns (bits [SUBC, LAN], slotpq [n_slots, SUBC, LAN],
-             slotlc [n_slots, SUBC, LAN], nyb [P or 8, SUBC, LAN] i32).
+    nout/hdr [SUBC, LAN] i32; coef [P, 1, LAN] f32; aux [P, 1, LAN] i32;
+    ampn/hfamp [P/2, 1, LAN] f32 and hfmeta [P/2, 1, LAN] i32 in the
+    pseudo-DFT line domain (pairwise-constant, read at lp >> 1).
+    Returns bits [SUBC, LAN] (tail tokens included; header excluded),
+    plus in materialize mode (word [P, SUBC, LAN], widx [P, SUBC, LAN],
+    freg [SUBC, LAN], fwc [SUBC, LAN]): emitted u32 stream words with
+    their word indices (2**30 where no word completed), the final
+    partial word, and the completed-word count.
     """
     n_chunks = p_tot // CHUNK
-    slot_len = p_tot // n_slots
 
     in_spec = pl.BlockSpec(
         (CHUNK, 1, LAN), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    lin_spec = pl.BlockSpec(
+        (CHUNK // 2, 1, LAN), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
     )
     rin_spec = pl.BlockSpec(
         (CHUNK, 1, LAN),
@@ -304,15 +405,12 @@ def encode_kernel_call3(nout, coef, amp, aux, p_tot: int, n_slots: int,
     )
     whole = pl.BlockSpec((SUBC, LAN), lambda j: (0, 0), memory_space=pltpu.VMEM)
 
-    s1, s2 = pl.pallas_call(
+    s12 = pl.pallas_call(
         _p1,
         grid=(n_chunks,),
         in_specs=[whole, in_spec, in_spec],
-        out_specs=(chunk_spec, chunk_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((p_tot, SUBC, LAN), jnp.float32),
-            jax.ShapeDtypeStruct((p_tot, SUBC, LAN), jnp.int32),
-        ),
+        out_specs=chunk_spec,
+        out_shape=jax.ShapeDtypeStruct((p_tot, SUBC, LAN), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((SUBC, LAN), jnp.float32),
             pltpu.VMEM((SUBC, LAN), jnp.float32),
@@ -323,36 +421,42 @@ def encode_kernel_call3(nout, coef, amp, aux, p_tot: int, n_slots: int,
     state = pl.pallas_call(
         _p2,
         grid=(n_chunks,),
-        in_specs=[whole, rin_spec, rin_spec, rchunk_spec, rchunk_spec],
+        in_specs=[whole, rin_spec, rin_spec, rchunk_spec],
         out_specs=rchunk_spec,
         out_shape=jax.ShapeDtypeStruct((p_tot, SUBC, LAN), jnp.int32),
         scratch_shapes=[pltpu.VMEM((5, SUBC, LAN), jnp.int32)],
         interpret=interpret,
-    )(nout, coef, aux, s1, s2)
+    )(nout, coef, aux, s12)
 
     coefn = jnp.concatenate([coef[1:], coef[-1:]], axis=0)
-    nslot_spec = pl.BlockSpec(
-        (n_slots, SUBC, LAN), lambda j: (0, 0, 0), memory_space=pltpu.VMEM
-    )
-    kern3 = functools.partial(_p3, slot_len=slot_len, materialize=materialize)
-    nyb_shape = (p_tot, SUBC, LAN) if materialize else (8, SUBC, LAN)
-    nyb_spec = (
-        chunk_spec
-        if materialize
-        else pl.BlockSpec((8, SUBC, LAN), lambda j: (0, 0, 0), memory_space=pltpu.VMEM)
-    )
-    bits, slotpq, slotlc, nyb = pl.pallas_call(
+    kern3 = functools.partial(_p3, materialize=materialize)
+    in_specs = [whole, in_spec, in_spec, lin_spec, in_spec, lin_spec,
+                lin_spec, chunk_spec]
+    if materialize:
+        out = pl.pallas_call(
+            kern3,
+            grid=(n_chunks,),
+            in_specs=in_specs + [whole],
+            out_specs=(whole, chunk_spec, chunk_spec, whole, whole),
+            out_shape=(
+                jax.ShapeDtypeStruct((SUBC, LAN), jnp.int32),
+                jax.ShapeDtypeStruct((p_tot, SUBC, LAN), jnp.int32),
+                jax.ShapeDtypeStruct((p_tot, SUBC, LAN), jnp.int32),
+                jax.ShapeDtypeStruct((SUBC, LAN), jnp.int32),
+                jax.ShapeDtypeStruct((SUBC, LAN), jnp.int32),
+            ),
+            scratch_shapes=[pltpu.VMEM((7, SUBC, LAN), jnp.int32)],
+            interpret=interpret,
+        )(nout, coef, coefn, ampn, aux, hfamp, hfmeta, state, hdr)
+        return out
+
+    bits = pl.pallas_call(
         kern3,
         grid=(n_chunks,),
-        in_specs=[whole, in_spec, in_spec, in_spec, in_spec, chunk_spec],
-        out_specs=(whole, nslot_spec, nslot_spec, nyb_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((SUBC, LAN), jnp.int32),
-            jax.ShapeDtypeStruct((n_slots, SUBC, LAN), jnp.int32),
-            jax.ShapeDtypeStruct((n_slots, SUBC, LAN), jnp.int32),
-            jax.ShapeDtypeStruct(nyb_shape, jnp.int32),
-        ),
+        in_specs=in_specs,
+        out_specs=whole,
+        out_shape=jax.ShapeDtypeStruct((SUBC, LAN), jnp.int32),
         scratch_shapes=[pltpu.VMEM((4, SUBC, LAN), jnp.int32)],
         interpret=interpret,
-    )(nout, coef, coefn, amp, aux, state)
-    return bits, slotpq, slotlc, nyb
+    )(nout, coef, coefn, ampn, aux, hfamp, hfmeta, state)
+    return (bits,)
