@@ -123,12 +123,11 @@ def main():
             )
             tok_l, g, pad = _to_lanes(tokens, b)
             wc_l = wc.reshape(g, pd.LANES)
-            rec, lvl, dcy, consumed, corrupt = jax.vmap(
+            rec, code, consumed, corrupt = jax.vmap(
                 lambda w_, tk: pd.fsm_kernel_call(w_, tk, p_tot, n, False)
             )(wc_l, tok_l)
             rec = _from_lanes(rec, b)
-            lvl = _from_lanes(lvl, b)
-            dcy = _from_lanes(dcy, b)
+            code = _from_lanes(code, b)
             consumed = consumed.reshape(-1)[:b]
             corrupt = corrupt.reshape(-1)[:b]
             bits = 4 * (hdr + consumed)

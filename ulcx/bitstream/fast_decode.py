@@ -78,18 +78,20 @@ def decode_block_fast(windows, rng_state, cfg: CodecConfig, interpret=False):
     def one(wcg, tk):
         return pd.fsm_kernel_call(wcg, tk, p_tot, n, interpret)
 
-    rec, lvl, dcy, consumed, corrupt = jax.vmap(one)(wc_l, tok_l)
+    rec, code, consumed, corrupt = jax.vmap(one)(wc_l, tok_l)
     rec = _from_lanes(rec, b)
-    lvl = _from_lanes(lvl, b)
-    dcy = _from_lanes(dcy, b)
+    code = _from_lanes(code, b)
     consumed = consumed.reshape(-1)[:b]
     corrupt = corrupt.reshape(-1)[:b]
 
-    # --- expansion: place records at their start positions (3 masked
-    # scatter-sets: a packed meta word + sparse lvl/dcy), forward-fill
-    # ONLY the 1-bit draw flag outside (one packed-int associative
-    # scan); the value fill, RNG replay, and coefficient assembly all
-    # fuse into one Pallas kernel (pd.rng_expand_kernel_call) ---
+    # --- expansion: place records at their start positions with ONE
+    # masked scatter of a single packed word (flags + level/decay/
+    # quantizer codes), forward-fill ONLY the 1-bit draw flag outside
+    # (one associative scan); value reconstruction, fill, RNG replay,
+    # and coefficient assembly all fuse into one Pallas kernel
+    # (pd.rng_expand_kernel_call). Round 2 used three scatters (meta +
+    # sparse f32 lvl/dcy) — scatters are the pathological op on this
+    # backend, so the codes ride the meta word instead ---
     rtype = (rec >> 26) & 0x7
     start = rec & 0x1FFF
     emit = rtype != 0
@@ -100,38 +102,32 @@ def decode_block_fast(windows, rng_state, cfg: CodecConfig, interpret=False):
     meta = jnp.where(
         emit,
         1 | (draw_rec.astype(jnp.int32) << 1)
-        | ((rtype == REC_COEF).astype(jnp.int32) << 2),
+        | ((rtype == REC_COEF).astype(jnp.int32) << 2)
+        | ((rtype == REC_TAIL).astype(jnp.int32) << 3)
+        | (code << 4),
         0,
     )
     zi = jnp.zeros((b, p_tot), jnp.int32)
-    zf = jnp.zeros((b, p_tot), jnp.float32)
     meta_s = zi.at[bidx, tgt].set(meta, mode="drop")
-    lvl_s = zf.at[bidx, tgt].set(lvl, mode="drop")
-    dcy_s = zf.at[bidx, tgt].set(dcy, mode="drop")
-    mark = (meta_s & 1) == 1
 
     # forward fill of the draw bit: packed single-array scan
     def combine(l, r):
         return jnp.where((r & 1) == 1, r, l)
 
     filled = lax.associative_scan(combine, meta_s, axis=1)
-    draw_p = (filled >> 1) & 1
-    # kernel flags: bit0 draw, bit1 record start, bit2 coef record
-    flags = draw_p | (meta_s & 1) << 1 | (meta_s & 4)
+    flags = meta_s | (((filled >> 1) & 1) << 30)
 
     flags_l, g2, pad2 = _to_lanes(flags, b)
-    lvl_l, _, _ = _to_lanes(lvl_s, b)
-    dcy_l, _, _ = _to_lanes(dcy_s, b)
     seed_l = (
         jnp.concatenate([rng_state, jnp.full((pad2,), 1234567, jnp.uint32)])
         if pad2
         else rng_state
     ).reshape(g2, pd.LANES)
 
-    def one_rng(fl, lv, dc, sd):
-        return pd.rng_expand_kernel_call(fl, lv, dc, sd, p_tot, interpret)
+    def one_rng(fl, sd):
+        return pd.rng_expand_kernel_call(fl, sd, p_tot, interpret)
 
-    coefs, new_seed = jax.vmap(one_rng)(flags_l, lvl_l, dcy_l, seed_l)
+    coefs, new_seed = jax.vmap(one_rng)(flags_l, seed_l)
     coefs = _from_lanes(coefs, b)
     new_seed = new_seed.reshape(-1)[:b]
 

@@ -332,12 +332,12 @@ def _v3_call(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
         hdrw.reshape(b // pe3.LAN, 1, pe3.LAN), (b // pe3.LAN, pe3.SUBC, pe3.LAN)
     )
 
-    def one3(no, cf, an, ax, ha, hm, hd):
-        return pe3.encode_kernel_call3(
-            no, cf, an, ax, ha, hm, hd, p_tot, materialize, interpret
-        )
-
-    out = jax.vmap(one3)(nout_l, coef_l, ampn_l, aux_l, hfa_l, hfm_l, hdr_l)
+    # the group axis folds into the Pallas grid (ONE launch per phase);
+    # a vmap here would emit one launch per 128-stream group
+    out = pe3.encode_kernel_call3(
+        nout_l, coef_l, ampn_l, aux_l, hfa_l, hfm_l, hdr_l,
+        p_tot, materialize, interpret,
+    )
     bits = _from_lanes3(out[0][:, None], b)[:, :, 0]
     if not materialize:
         return (bits,)

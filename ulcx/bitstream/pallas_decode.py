@@ -76,7 +76,7 @@ def _expand_quant(qi):
     return m.astype(jnp.float32) * jnp.float32(2.0**-31)
 
 
-def _fsm_kernel(wc_ref, nyb_ref, rec_ref, lvl_ref, dcy_ref, meta_ref,
+def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
                 *, p_tot: int, n: int, t_len: int):
     """Single packed loop carry: pos(13) | mode(4)<<13 | qi(5)<<17 |
     r0(8)<<22 | corrupt(1)<<30.
@@ -116,7 +116,6 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, lvl_ref, dcy_ref, meta_ref,
         active = (mode != M_DONE) & (corrupt == 0)
         se = seg_end_of(pos)
         remaining = se - pos
-        quant = _expand_quant(qi)
 
         new_m = mode
         new_pos = pos
@@ -126,8 +125,13 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, lvl_ref, dcy_ref, meta_ref,
         emit = jnp.zeros((LANES,), jnp.bool_)
         rtype = jnp.full((LANES,), REC_NONE, jnp.int32)
         rcount = jnp.zeros((LANES,), jnp.int32)
-        rlevel = jnp.zeros((LANES,), jnp.float32)
-        rdecay = jnp.zeros((LANES,), jnp.float32)
+        # level/decay leave the kernel as small integer CODES
+        # (a | dn << 5 | qi << 13); the RNG kernel reconstructs the f32
+        # values with the identical expressions. One i32 plane instead
+        # of two f32 planes, and the expansion scatter outside collapses
+        # from three to one.
+        r_a = jnp.zeros((LANES,), jnp.int32)
+        r_dn = jnp.zeros((LANES,), jnp.int32)
 
         def seg_adv(p):
             return jnp.where(p >= p_tot, M_DONE, jnp.where(p == se, M_QUANT_START, M_NORMAL))
@@ -156,12 +160,10 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, lvl_ref, dcy_ref, meta_ref,
 
         in_n = mode == M_NORMAL
         is_coef = in_n & (x != 0x0) & (x != 0x1) & (x != 0x8) & (x != 0xF)
-        s = (x ^ 0x8) - 0x8
-        val = jnp.where(s < 0, -(s * s), s * s).astype(jnp.float32) * quant
         emit = emit | is_coef
         rtype = jnp.where(is_coef, REC_COEF, rtype)
         rcount = jnp.where(is_coef, 1, rcount)
-        rlevel = jnp.where(is_coef, val, rlevel)
+        r_a = jnp.where(is_coef, x, r_a)
         pos_c = pos + 1
         new_pos = jnp.where(is_coef, pos_c, new_pos)
         new_m = jnp.where(is_coef, seg_adv(pos_c), new_m)
@@ -212,9 +214,7 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, lvl_ref, dcy_ref, meta_ref,
         emit = emit | nx_ok
         rtype = jnp.where(nx_ok, REC_NOISE, rtype)
         rcount = jnp.where(nx_ok, n_noise, rcount)
-        rlevel = jnp.where(
-            nx_ok, (lvl_q * lvl_q).astype(jnp.float32) * quant * jnp.float32(0.25), rlevel
-        )
+        r_a = jnp.where(nx_ok, lvl_q, r_a)
         pos_n = pos + n_noise
         new_pos = jnp.where(nx_ok, pos_n, new_pos)
         new_m = jnp.where(nx_ok, seg_adv(pos_n), new_m)
@@ -232,16 +232,8 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, lvl_ref, dcy_ref, meta_ref,
         emit = emit | in_tx
         rtype = jnp.where(in_tx, REC_TAIL, rtype)
         rcount = jnp.where(in_tx, remaining, rcount)
-        rlevel = jnp.where(
-            in_tx,
-            (lvl_t * lvl_t).astype(jnp.float32) * quant * jnp.float32(1.0 / 16),
-            rlevel,
-        )
-        rdecay = jnp.where(
-            in_tx,
-            jnp.float32(1.0) + (dn * dn).astype(jnp.float32) * jnp.float32(-(2.0**-19)),
-            rdecay,
-        )
+        r_a = jnp.where(in_tx, lvl_t, r_a)
+        r_dn = jnp.where(in_tx, dn, r_dn)
         new_pos = jnp.where(in_tx, se, new_pos)
         new_m = jnp.where(in_tx, seg_adv(se), new_m)
 
@@ -254,8 +246,7 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, lvl_ref, dcy_ref, meta_ref,
             0,
         ) | (active.astype(jnp.int32) << 29)
         rec_ref[t, :] = rec
-        lvl_ref[t, :] = jnp.where(emit, rlevel, 0.0)
-        dcy_ref[t, :] = jnp.where(emit, rdecay, 0.0)
+        code_ref[t, :] = jnp.where(emit, r_a | (r_dn << 5) | (qi << 13), 0)
 
         packed = (
             jnp.clip(jnp.where(active, new_pos, pos), 0, 0x1FFF)
@@ -275,28 +266,27 @@ def fsm_kernel_call(wc, nybbles, p_tot: int, n: int, interpret: bool = False):
     """wc [LANES] i32; nybbles [T, LANES] i32 (header stripped).
 
     Returns (rec [T, LANES] i32 packed start|count<<13|type<<26,
-    level [T, LANES] f32, decay [T, LANES] f32,
+    code [T, LANES] i32 packed a|dn<<5|qi<<13,
     consumed [LANES] i32, corrupt [LANES] i32)."""
     t_len = nybbles.shape[0]
     kern = functools.partial(_fsm_kernel, p_tot=p_tot, n=n, t_len=t_len)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    rec, lvl, dcy, meta = pl.pallas_call(
+    rec, code, meta = pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct((t_len, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((t_len, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((t_len, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, LANES), jnp.int32),
             jax.ShapeDtypeStruct((8, LANES), jnp.int32),
         ),
         in_specs=[vspec, vspec],
-        out_specs=(vspec, vspec, vspec, vspec),
+        out_specs=(vspec, vspec, vspec),
         interpret=interpret,
     )(jnp.broadcast_to(wc[None, :], (8, LANES)).astype(jnp.int32), nybbles)
     final = meta[0]
     consumed = jnp.sum((rec >> 29) & 1, axis=0).astype(jnp.int32)
     mode_f = (final >> 13) & 0xF
     corrupt = ((final >> 30) & 1) | (mode_f != 14).astype(jnp.int32)
-    return rec & ((1 << 29) - 1), lvl, dcy, consumed, corrupt
+    return rec & ((1 << 29) - 1), code, consumed, corrupt
 
 
 def _rng_kernel(flags_ref, seed_ref, sign_ref, seed_out_ref, *, p_tot: int):
@@ -344,16 +334,19 @@ def rng_kernel_call(flags, seed, p_tot: int, interpret: bool = False):
     return sign, seed_out[0]
 
 
-def _rng_expand_kernel(flags_ref, lvl_ref, dcy_ref, seed_ref,
-                       coef_ref, seed_out_ref, *, p_tot: int):
+def _rng_expand_kernel(flags_ref, seed_ref, coef_ref, seed_out_ref,
+                       *, p_tot: int):
     """Fused RNG replay + record fill + coefficient assembly.
 
-    flags[p]: bit0 = draw (position inside a noise/tail run, from the
-    outside 1-bit forward fill), bit1 = record start, bit2 = the start
-    is a coded-coefficient record. lvl/dcy are SPARSE (values at record
-    starts only); the fill is carried in-register. Tail decay runs as
-    the reference's sequential ``mag *= r`` (ulcDecoder.c:186), which
-    is also closer to the C than the closed-form exp(k*log r).
+    flags[p] is ONE packed word per position (sparse fields live at
+    record starts only): bit0 = record start, bit1 = draw record,
+    bit2 = coded-coefficient record, bit3 = tail record,
+    a<<4 | dn<<9 | qi<<17 level/decay codes, bit30 = draw (from the
+    outside 1-bit forward fill). Level/decay floats are reconstructed
+    here with the exact expressions the FSM used to emit (bit-identical;
+    see _fsm_kernel) — one input plane instead of flags+lvl+dcy. Tail
+    decay runs as the reference's sequential ``mag *= r``
+    (ulcDecoder.c:186).
 
     Every carried value updates under predicates derived from INPUTS
     (mark/draw bits), never from another carry — the acyclic shape the
@@ -363,11 +356,29 @@ def _rng_expand_kernel(flags_ref, lvl_ref, dcy_ref, seed_ref,
     def body(p, carry):
         state, parity, lvl, mag, dcy = carry
         f = flags_ref[p, :]
-        draw = (f & 1) == 1
-        st = (f & 2) == 2
+        draw = (f >> 30) == 1
+        st = (f & 1) == 1
         is_coef = (f & 4) == 4
-        lvl_in = lvl_ref[p, :]
-        dcy_in = dcy_ref[p, :]
+        is_tail = (f & 8) == 8
+        a = (f >> 4) & 0x1F
+        dn = (f >> 9) & 0xFF
+        quant = _expand_quant((f >> 17) & 0x1F)
+        s = ((a & 0xF) ^ 0x8) - 0x8
+        val_coef = jnp.where(s < 0, -(s * s), s * s).astype(jnp.float32) * quant
+        aa = (a * a).astype(jnp.float32) * quant
+        lvl_in = jnp.where(
+            is_coef,
+            val_coef,
+            jnp.where(
+                is_tail, aa * jnp.float32(1.0 / 16), aa * jnp.float32(0.25)
+            ),
+        )
+        dcy_in = jnp.where(
+            is_tail,
+            jnp.float32(1.0)
+            + (dn * dn).astype(jnp.float32) * jnp.float32(-(2.0**-19)),
+            0.0,
+        )
         lvl = jnp.where(st, lvl_in, lvl)
         dcy = jnp.where(st, dcy_in, dcy)
         mag = jnp.where(st, lvl_in, mag)
@@ -394,9 +405,8 @@ def _rng_expand_kernel(flags_ref, lvl_ref, dcy_ref, seed_ref,
     seed_out_ref[0, :] = state
 
 
-def rng_expand_kernel_call(flags, lvl_s, dcy_s, seed, p_tot: int,
-                           interpret: bool = False):
-    """flags/lvl_s/dcy_s [P, LANES]; seed [LANES] u32.
+def rng_expand_kernel_call(flags, seed, p_tot: int, interpret: bool = False):
+    """flags [P, LANES] i32 (packed per-position word); seed [LANES] u32.
     Returns (coef [P, LANES] f32, new_seed [LANES] u32)."""
     kern = functools.partial(_rng_expand_kernel, p_tot=p_tot)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -406,11 +416,8 @@ def rng_expand_kernel_call(flags, lvl_s, dcy_s, seed, p_tot: int,
             jax.ShapeDtypeStruct((p_tot, LANES), jnp.float32),
             jax.ShapeDtypeStruct((8, LANES), jnp.uint32),
         ),
-        in_specs=[vspec, vspec, vspec, vspec],
+        in_specs=[vspec, vspec],
         out_specs=(vspec, vspec),
         interpret=interpret,
-    )(
-        flags, lvl_s, dcy_s,
-        jnp.broadcast_to(seed[None, :], (8, LANES)).astype(jnp.uint32),
-    )
+    )(flags, jnp.broadcast_to(seed[None, :], (8, LANES)).astype(jnp.uint32))
     return coef, seed_out[0]

@@ -49,7 +49,7 @@ CHUNK = int(os.environ.get("ULCX_KERNEL_CHUNK", "128"))
 
 
 def _p1(nout_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc):
-    j = pl.program_id(0)
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
@@ -92,7 +92,7 @@ def _p1(nout_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc):
 
 
 def _p2(nout_ref, coef_ref, aux_ref, s12_ref, state_ref, st_sc):
-    j = pl.program_id(0)
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
@@ -103,7 +103,7 @@ def _p2(nout_ref, coef_ref, aux_ref, s12_ref, state_ref, st_sc):
         st_sc[4] = jnp.full((SUBC, LAN), SENT, jnp.int32)       # ncp
 
     nout = nout_ref[...]
-    base = (pl.num_programs(0) - 1 - j) * CHUNK
+    base = (pl.num_programs(1) - 1 - j) * CHUNK
 
     def body(k, carry):
         nk, nk_split, cur_qi, q_next, ncp = carry
@@ -163,7 +163,7 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
         (hdr_ref, bits_ref, word_ref, widx_ref, freg_ref, fwc_ref, st_sc) = rest
     else:
         (bits_ref, st_sc) = rest
-    j = pl.program_id(0)
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
@@ -371,46 +371,59 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
 def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
                         p_tot: int, materialize: bool,
                         interpret: bool = False):
-    """v3 invocation: 128 streams x 8 candidates.
+    """v3 invocation: G groups x (128 streams x 8 candidates).
 
-    nout/hdr [SUBC, LAN] i32; coef [P, 1, LAN] f32; aux [P, 1, LAN] i32;
-    ampn/hfamp [P/2, 1, LAN] f32 and hfmeta [P/2, 1, LAN] i32 in the
-    pseudo-DFT line domain (pairwise-constant, read at lp >> 1).
-    Returns bits [SUBC, LAN] (tail tokens included; header excluded),
-    plus in materialize mode (word [P, SUBC, LAN], widx [P, SUBC, LAN],
-    freg [SUBC, LAN], fwc [SUBC, LAN]): emitted u32 stream words with
-    their word indices (2**30 where no word completed), the final
+    The group axis rides the PALLAS GRID (grid = (G, n_chunks)), not a
+    vmap: one kernel launch per phase regardless of batch size, and
+    Mosaic pipelines chunk DMA across group boundaries (the per-launch
+    fixed cost and the serial-loop drain bubbles were the measured
+    round cost at B=512, not HBM traffic).
+
+    nout/hdr [G, SUBC, LAN] i32; coef [G, P, 1, LAN] f32; aux alike i32;
+    ampn/hfamp [G, P/2, 1, LAN] f32 and hfmeta i32 in the pseudo-DFT
+    line domain (pairwise-constant, read at lp >> 1).
+    Returns bits [G, SUBC, LAN] (tail tokens included; header excluded),
+    plus in materialize mode (word [G, P, SUBC, LAN], widx alike,
+    freg [G, SUBC, LAN], fwc [G, SUBC, LAN]): emitted u32 stream words
+    with their word indices (2**30 where no word completed), the final
     partial word, and the completed-word count.
     """
     n_chunks = p_tot // CHUNK
+    g = nout.shape[0]
+    grid = (g, n_chunks)
 
     in_spec = pl.BlockSpec(
-        (CHUNK, 1, LAN), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+        (None, CHUNK, 1, LAN), lambda gg, j: (gg, j, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     lin_spec = pl.BlockSpec(
-        (CHUNK // 2, 1, LAN), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+        (None, CHUNK // 2, 1, LAN), lambda gg, j: (gg, j, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     rin_spec = pl.BlockSpec(
-        (CHUNK, 1, LAN),
-        lambda j: (n_chunks - 1 - j, 0, 0),
+        (None, CHUNK, 1, LAN),
+        lambda gg, j: (gg, n_chunks - 1 - j, 0, 0),
         memory_space=pltpu.VMEM,
     )
     chunk_spec = pl.BlockSpec(
-        (CHUNK, SUBC, LAN), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
-    )
-    rchunk_spec = pl.BlockSpec(
-        (CHUNK, SUBC, LAN),
-        lambda j: (n_chunks - 1 - j, 0, 0),
+        (None, CHUNK, SUBC, LAN), lambda gg, j: (gg, j, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    whole = pl.BlockSpec((SUBC, LAN), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    rchunk_spec = pl.BlockSpec(
+        (None, CHUNK, SUBC, LAN),
+        lambda gg, j: (gg, n_chunks - 1 - j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    whole = pl.BlockSpec(
+        (None, SUBC, LAN), lambda gg, j: (gg, 0, 0), memory_space=pltpu.VMEM
+    )
 
     s12 = pl.pallas_call(
         _p1,
-        grid=(n_chunks,),
+        grid=grid,
         in_specs=[whole, in_spec, in_spec],
         out_specs=chunk_spec,
-        out_shape=jax.ShapeDtypeStruct((p_tot, SUBC, LAN), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((g, p_tot, SUBC, LAN), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((SUBC, LAN), jnp.float32),
             pltpu.VMEM((SUBC, LAN), jnp.float32),
@@ -420,30 +433,30 @@ def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
 
     state = pl.pallas_call(
         _p2,
-        grid=(n_chunks,),
+        grid=grid,
         in_specs=[whole, rin_spec, rin_spec, rchunk_spec],
         out_specs=rchunk_spec,
-        out_shape=jax.ShapeDtypeStruct((p_tot, SUBC, LAN), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((g, p_tot, SUBC, LAN), jnp.int32),
         scratch_shapes=[pltpu.VMEM((5, SUBC, LAN), jnp.int32)],
         interpret=interpret,
     )(nout, coef, aux, s12)
 
-    coefn = jnp.concatenate([coef[1:], coef[-1:]], axis=0)
+    coefn = jnp.concatenate([coef[:, 1:], coef[:, -1:]], axis=1)
     kern3 = functools.partial(_p3, materialize=materialize)
     in_specs = [whole, in_spec, in_spec, lin_spec, in_spec, lin_spec,
                 lin_spec, chunk_spec]
     if materialize:
         out = pl.pallas_call(
             kern3,
-            grid=(n_chunks,),
+            grid=grid,
             in_specs=in_specs + [whole],
             out_specs=(whole, chunk_spec, chunk_spec, whole, whole),
             out_shape=(
-                jax.ShapeDtypeStruct((SUBC, LAN), jnp.int32),
-                jax.ShapeDtypeStruct((p_tot, SUBC, LAN), jnp.int32),
-                jax.ShapeDtypeStruct((p_tot, SUBC, LAN), jnp.int32),
-                jax.ShapeDtypeStruct((SUBC, LAN), jnp.int32),
-                jax.ShapeDtypeStruct((SUBC, LAN), jnp.int32),
+                jax.ShapeDtypeStruct((g, SUBC, LAN), jnp.int32),
+                jax.ShapeDtypeStruct((g, p_tot, SUBC, LAN), jnp.int32),
+                jax.ShapeDtypeStruct((g, p_tot, SUBC, LAN), jnp.int32),
+                jax.ShapeDtypeStruct((g, SUBC, LAN), jnp.int32),
+                jax.ShapeDtypeStruct((g, SUBC, LAN), jnp.int32),
             ),
             scratch_shapes=[pltpu.VMEM((7, SUBC, LAN), jnp.int32)],
             interpret=interpret,
@@ -452,10 +465,10 @@ def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
 
     bits = pl.pallas_call(
         kern3,
-        grid=(n_chunks,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=whole,
-        out_shape=jax.ShapeDtypeStruct((SUBC, LAN), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((g, SUBC, LAN), jnp.int32),
         scratch_shapes=[pltpu.VMEM((4, SUBC, LAN), jnp.int32)],
         interpret=interpret,
     )(nout, coef, coefn, ampn, aux, hfamp, hfmeta, state)
