@@ -333,11 +333,25 @@ def _v3_call(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
     )
 
     # the group axis folds into the Pallas grid (ONE launch per phase);
-    # a vmap here would emit one launch per 128-stream group
-    out = pe3.encode_kernel_call3(
-        nout_l, coef_l, ampn_l, aux_l, hfa_l, hfm_l, hdr_l,
-        p_tot, materialize, interpret,
-    )
+    # a vmap here would emit one launch per 128-stream group.
+    # ULCX_V3_VMAP=1 restores the vmap form (A/B harness).
+    import os as _os
+
+    if _os.environ.get("ULCX_V3_VMAP", "0") == "1":
+        out = jax.vmap(
+            lambda no, cf, an, ax, ha, hm, hd: tuple(
+                x[0]
+                for x in pe3.encode_kernel_call3(
+                    no[None], cf[None], an[None], ax[None], ha[None],
+                    hm[None], hd[None], p_tot, materialize, interpret,
+                )
+            )
+        )(nout_l, coef_l, ampn_l, aux_l, hfa_l, hfm_l, hdr_l)
+    else:
+        out = pe3.encode_kernel_call3(
+            nout_l, coef_l, ampn_l, aux_l, hfa_l, hfm_l, hdr_l,
+            p_tot, materialize, interpret,
+        )
     bits = _from_lanes3(out[0][:, None], b)[:, :, 0]
     if not materialize:
         return (bits,)

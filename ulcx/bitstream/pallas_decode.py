@@ -19,6 +19,7 @@ Record expansion between them is gather-free vectorized JAX
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -30,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ulcx.ops.patterns import pattern_subblock_offsets, pattern_subblock_sizes
 
 LANES = 128
+UNROLL = 1  # Mosaic supports only unroll=1 or full; these loops are too long to unroll fully
 
 # FSM modes (shared vocabulary with ulcx.bitstream.decode)
 M_QUANT_START = 0
@@ -258,7 +260,7 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
         return packed
 
     init = jnp.full((LANES,), M_QUANT_START << 13, jnp.int32)
-    final = lax.fori_loop(0, t_len, body, init)
+    final = lax.fori_loop(0, t_len, body, init, unroll=UNROLL)
     meta_ref[0, :] = final
 
 
@@ -311,7 +313,8 @@ def _rng_kernel(flags_ref, seed_ref, sign_ref, seed_out_ref, *, p_tot: int):
         return state, parity
 
     state, _ = lax.fori_loop(
-        0, p_tot, body, (seed_ref[0, :], jnp.zeros((LANES,), jnp.uint32))
+        0, p_tot, body, (seed_ref[0, :], jnp.zeros((LANES,), jnp.uint32)),
+        unroll=UNROLL,
     )
     seed_out_ref[0, :] = state
 
@@ -401,6 +404,7 @@ def _rng_expand_kernel(flags_ref, seed_ref, coef_ref, seed_out_ref,
     state, _, _, _, _ = lax.fori_loop(
         0, p_tot, body,
         (seed_ref[0, :], jnp.zeros((LANES,), jnp.uint32), z, z, z),
+        unroll=UNROLL,
     )
     seed_out_ref[0, :] = state
 

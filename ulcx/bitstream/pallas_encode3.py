@@ -36,6 +36,8 @@ LAN = 128      # lanes: streams
 N_STREAMS = 128
 N_CAND = 8
 CHUNK = int(os.environ.get("ULCX_KERNEL_CHUNK", "128"))
+_u = os.environ.get("ULCX_KERNEL_UNROLL", "full")
+UNROLL = CHUNK if _u == "full" else int(_u)  # Mosaic: only 1 or full
 
 
 # ---------------------------------------------------------------------------
@@ -82,7 +84,9 @@ def _p1(nout_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc):
         s12_ref[p] = qi | (split.astype(jnp.int32) << 5)
         return qmin, qmax
 
-    qmin, qmax = lax.fori_loop(0, CHUNK, body, (qmin_sc[...], qmax_sc[...]))
+    qmin, qmax = lax.fori_loop(
+        0, CHUNK, body, (qmin_sc[...], qmax_sc[...]), unroll=UNROLL
+    )
     qmin_sc[...] = qmin
     qmax_sc[...] = qmax
 
@@ -133,7 +137,8 @@ def _p2(nout_ref, coef_ref, aux_ref, s12_ref, state_ref, st_sc):
         return nk, nk_split, cur_qi, q_next, ncp_new
 
     out = lax.fori_loop(
-        0, CHUNK, body, (st_sc[0], st_sc[1], st_sc[2], st_sc[3], st_sc[4])
+        0, CHUNK, body, (st_sc[0], st_sc[1], st_sc[2], st_sc[3], st_sc[4]),
+        unroll=UNROLL,
     )
     for i in range(5):
         st_sc[i] = out[i]
@@ -354,7 +359,8 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
 
     n_carry = 7 if materialize else 4
     out = lax.fori_loop(
-        0, CHUNK, body, tuple(st_sc[i] for i in range(n_carry))
+        0, CHUNK, body, tuple(st_sc[i] for i in range(n_carry)),
+        unroll=UNROLL,
     )
     for i in range(n_carry):
         st_sc[i] = out[i]
