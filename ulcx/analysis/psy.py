@@ -94,27 +94,37 @@ def _band_lerp(bark_vals: jnp.ndarray, m: int, rate_hz: int) -> jnp.ndarray:
 
 
 def _forward_fill(values, valid, init):
-    """Per-band forward fill: carry the last valid value, else ``init``."""
-    n = values.shape[-1]
-    idx = jnp.where(valid, jnp.arange(n), -1)
-    last = lax.cummax(idx, axis=idx.ndim - 1)
-    filled = jnp.take_along_axis(
-        values, jnp.maximum(last, 0), axis=-1
+    """Per-band forward fill: carry the last valid value, else ``init``
+    (associative scan — the former cummax + take_along_axis pair lowers
+    to a gather, pathological on this backend)."""
+
+    def combine(l, r):
+        fl, vl = l
+        fr, vr = r
+        return fl | fr, jnp.where(fr, vr, vl)
+
+    f, v = lax.associative_scan(
+        combine,
+        (valid, jnp.where(valid, values, 0)),
+        axis=values.ndim - 1,
     )
-    return jnp.where(last >= 0, filled, jnp.asarray(init, values.dtype))
+    return jnp.where(f, v, jnp.asarray(init, values.dtype))
 
 
 def _band_sums(data, log_data, beg, end):
-    """(floor, peak, peak_w) over [beg, end) per band via cumsums."""
-    zero = jnp.zeros_like(data[..., :1])
-    cf = jnp.concatenate([zero, jnp.cumsum(log_data, axis=-1)], axis=-1)
-    cp = jnp.concatenate([zero, jnp.cumsum(log_data * data, axis=-1)], axis=-1)
-    cw = jnp.concatenate([zero, jnp.cumsum(data, axis=-1)], axis=-1)
-    return (
-        cf[..., end] - cf[..., beg],
-        cp[..., end] - cp[..., beg],
-        cw[..., end] - cw[..., beg],
-    )
+    """(floor, peak, peak_w) over [beg, end) per band via ONE stacked
+    inclusive cumsum; the zero boundary is folded into static index
+    masks instead of a length-m+1 concat (odd minor dims force relayout
+    copies). Bit-identical to the exclusive-concat form."""
+    stacked = jnp.stack([log_data, log_data * data, data], axis=-2)
+    incl = jnp.cumsum(stacked, axis=-1)  # [..., 3, m]
+
+    def take(idx):
+        v = incl[..., np.maximum(idx - 1, 0)]  # [..., 3, n_bands]
+        return v * jnp.asarray((idx > 0).astype(np.float32))
+
+    s = take(end) - take(beg)
+    return s[..., 0, :], s[..., 1, :], s[..., 2, :]
 
 
 def masking_curve(amp2: jnp.ndarray, m: int, rate_hz: int) -> jnp.ndarray:
