@@ -138,8 +138,9 @@ def boundary_overlaps_batched(window_ctrl, prev_last_ss, next_overlap, cfg: Code
     return o_l, o_r
 
 
-def _rise_batched(length: int, overlap):
-    """Batched rise half-window: overlap [...] -> [..., length]."""
+def _rise_dense(length: int, overlap):
+    """Rise half-window computed per element: overlap [...] ->
+    [..., length]."""
     o = overlap[..., None].astype(jnp.float32)
     j = jnp.arange(length, dtype=jnp.float32)
     start = jnp.float32(length / 2) - o / 2
@@ -148,6 +149,25 @@ def _rise_batched(length: int, overlap):
     return jnp.where(j < start, 0.0, jnp.where(j >= start + o, 1.0, w)).astype(
         jnp.float32
     )
+
+
+def _rise_batched(length: int, overlap):
+    """Batched rise half-window: overlap [...] -> [..., length].
+
+    Overlaps only ever take the power-of-two values 1..length (overlap
+    nominal rules, ulcEncoder_BlockTransform.c:161-172), so the dense
+    per-element form — sin over a [batch, length] grid for every
+    stream/candidate — is recomputed ~B x npos times for at most
+    log2(length)+1 distinct rows. Compute the distinct rows once (same
+    expressions, same bits) and select per stream with an exact one-hot
+    f32 matmul (one nonzero per row)."""
+    k = int(np.log2(length)) + 1
+    cand = jnp.asarray(
+        np.array([0] + [1 << i for i in range(k)], np.int32)
+    )  # 0 occurs at stream starts and fully-shifted overlaps
+    rows = _rise_dense(length, cand)  # [k+1, length]
+    oh = (overlap[..., None] == cand).astype(jnp.float32)
+    return jnp.matmul(oh, rows, precision=jax.lax.Precision.HIGHEST)
 
 
 def _first_active(act):
