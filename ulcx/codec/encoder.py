@@ -187,8 +187,14 @@ def init_carry_batched(cfg: CodecConfig, batch: int):
 def _use_kernel(cfg: CodecConfig, batch: int) -> bool:
     if cfg.use_pallas == "off":
         return False
+    p_tot = cfg.n_chan * cfg.block_size
+    # v1/v2 lane layouts stop at P=4096; the v3 path (batch % 128) holds
+    # P=8192: rank/segdelta are 13-bit fields (0..8191 — exactly P-1),
+    # ncp is 14 bits, and VMEM use is CHUNK-blocked. Covers stereo
+    # bs4096, one of the BASELINE.md benchmark configs.
+    p_max = 8192 if (batch % 128 == 0 and p_tot % 128 == 0) else 4096
     shape_ok = (
-        cfg.n_chan * cfg.block_size <= 4096
+        p_tot <= p_max
         and batch % 8 == 0
         and cfg.noise_run_window == "segment"
     )
