@@ -309,8 +309,43 @@ def cand_count(b: int, p_tot: int) -> int:
     return pe3.N_CAND if _use_v3(b, p_tot) else pe.N_CAND
 
 
-def _v3_call(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
-             interpret=False):
+class _V3Planes(NamedTuple):
+    """Lane-transposed kernel input planes ([G, P(/2), 1, LAN] etc.).
+
+    Built ONCE per encode (the [B, P] -> stream-in-lane transposes cost
+    ~2 ms each on chip); every ladder round reuses them."""
+
+    coef_l: jnp.ndarray
+    aux_l: jnp.ndarray
+    ampn_l: jnp.ndarray
+    hfa_l: jnp.ndarray
+    hfm_l: jnp.ndarray
+    hdr_l: jnp.ndarray
+    b: int
+    p_tot: int
+
+
+def _v3_planes(fb: FastBlockData) -> _V3Planes:
+    from ulcx.bitstream import pallas_encode3 as pe3
+
+    b, p_tot = fb.coef.shape
+    hdrw = fb.header[:, 0] | (fb.header[:, 1] << 4) | (fb.n_header << 8)
+    hdr_l = jnp.broadcast_to(
+        hdrw.reshape(b // pe3.LAN, 1, pe3.LAN), (b // pe3.LAN, pe3.SUBC, pe3.LAN)
+    )
+    return _V3Planes(
+        _to_lanes3(fb.coef, b),
+        _to_lanes3(fb.aux.astype(jnp.int32), b),
+        _to_lanes3(fb.amp_noise, b),
+        _to_lanes3(fb.amp_lin, b),
+        _to_lanes3(fb.hf_meta, b),
+        hdr_l,
+        b,
+        p_tot,
+    )
+
+
+def _v3_call(pl3: _V3Planes, nout, materialize=False, interpret=False):
     """v3 kernel round: tail tokens priced (and, in materialize mode,
     the stream packed) inside the kernel. nout [B, 8] i32.
 
@@ -319,18 +354,12 @@ def _v3_call(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
     [B,8]) — see pallas_encode3.encode_kernel_call3."""
     from ulcx.bitstream import pallas_encode3 as pe3
 
-    b, p_tot = fb.coef.shape
-    coef_l = _to_lanes3(fb.coef, b)
-    aux_l = _to_lanes3(fb.aux.astype(jnp.int32), b)
-    ampn_l = _to_lanes3(fb.amp_noise, b)
-    hfa_l = _to_lanes3(fb.amp_lin, b)
-    hfm_l = _to_lanes3(fb.hf_meta, b)
+    b, p_tot = pl3.b, pl3.p_tot
+    coef_l, aux_l, ampn_l, hfa_l, hfm_l, hdr_l = (
+        pl3.coef_l, pl3.aux_l, pl3.ampn_l, pl3.hfa_l, pl3.hfm_l, pl3.hdr_l
+    )
     # nout [B, 8] -> [G3, SUBC, LAN]: candidate in sublane, stream in lane
     nout_l = nout.reshape(b // pe3.LAN, pe3.LAN, pe3.N_CAND).transpose(0, 2, 1)
-    hdrw = fb.header[:, 0] | (fb.header[:, 1] << 4) | (fb.n_header << 8)
-    hdr_l = jnp.broadcast_to(
-        hdrw.reshape(b // pe3.LAN, 1, pe3.LAN), (b // pe3.LAN, pe3.SUBC, pe3.LAN)
-    )
 
     # the group axis folds into the Pallas grid (ONE launch per phase);
     # a vmap here would emit one launch per 128-stream group.
@@ -481,13 +510,17 @@ def tail_info(fb: FastBlockData, slotpq, slotlc, cfg: CodecConfig):
     return total, p_tail, t_nyb, valid
 
 
+def _v3_sizes(pl3: _V3Planes, n_header, nout, interpret=False):
+    (bits,) = _v3_call(pl3, nout, False, interpret)
+    total = 4 * (bits + n_header[:, None])
+    return (total + 7) & ~7
+
+
 def total_sizes(fb: FastBlockData, nout, cfg: CodecConfig, interpret=False):
     """Byte-aligned block sizes in bits for candidates nout [B, K]."""
     b, p_tot = fb.coef.shape
     if _use_v3(b, p_tot):
-        (bits,) = _v3_call(fb, nout, cfg, False, interpret)
-        total = 4 * (bits + fb.n_header[:, None])
-        return (total + 7) & ~7
+        return _v3_sizes(_v3_planes(fb), fb.n_header, nout, interpret)
     bits, slotpq, slotlc, _ = kernel_sizes(fb, nout, cfg, False, interpret)
     t_total, _, _, _ = tail_info(fb, slotpq, slotlc, cfg)
     total = 4 * (bits + t_total + fb.n_header[:, None])
@@ -502,6 +535,12 @@ def rate_search_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     b = fb.coef.shape[0]
     p_tot = fb.coef.shape[1]
     k = cand_count(b, p_tot)
+    pl3 = _v3_planes(fb) if _use_v3(b, p_tot) else None
+    size_fn = (
+        (lambda nn: _v3_sizes(pl3, fb.n_header, nn, interpret))
+        if pl3 is not None
+        else (lambda nn: total_sizes(fb, nn, cfg, interpret))
+    )
     rounds = max(1, int(math.ceil(math.log(p_tot, k))))
     lo = jnp.zeros(b, jnp.int32)
     hi = n_nz.astype(jnp.int32)
@@ -509,7 +548,7 @@ def rate_search_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
         step = jnp.maximum((hi - lo + k - 1) // k, 1)
         cands = lo[:, None] + step[:, None] * jnp.arange(1, k + 1, dtype=jnp.int32)
         cands_c = jnp.minimum(cands, jnp.maximum(hi, 0)[:, None])
-        sizes = total_sizes(fb, cands_c, cfg, interpret)
+        sizes = size_fn(cands_c)
         feas = (sizes <= budget[:, None]) & (cands <= hi[:, None])
         any_f = jnp.any(feas, axis=-1)
         best = jnp.max(jnp.where(feas, cands_c, lo[:, None]), axis=-1)
@@ -602,7 +641,9 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
     k = cand_count(b, p_tot)
     noutk = jnp.broadcast_to(n_out[:, None], (b, k))
     if _use_v3(b, p_tot):
-        bits, word, widx, freg, fwc = _v3_call(fb, noutk, cfg, True, interpret)
+        bits, word, widx, freg, fwc = _v3_call(
+            _v3_planes(fb), noutk, True, interpret
+        )
         size_bits = (4 * (bits[:, 0] + fb.n_header) + 7) & ~7
         by = _assemble_v3(word[:, 0], widx[:, 0], freg[:, 0], fwc[:, 0], max_bytes)
         return size_bits, by
@@ -621,6 +662,12 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
 
     b, p_tot = fb.coef.shape
     k = cand_count(b, p_tot)
+    pl3 = _v3_planes(fb) if _use_v3(b, p_tot) else None
+    size_fn = (
+        (lambda nn: _v3_sizes(pl3, fb.n_header, nn, interpret))
+        if pl3 is not None
+        else (lambda nn: total_sizes(fb, nn, cfg, interpret))
+    )
     rounds = max(1, int(math.ceil(math.log(p_tot, k))))
     lo = jnp.zeros(b, jnp.int32)
     hi = n_nz.astype(jnp.int32)
@@ -628,7 +675,7 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
         step = jnp.maximum((hi - lo + k - 1) // k, 1)
         cands = lo[:, None] + step[:, None] * jnp.arange(1, k + 1, dtype=jnp.int32)
         cands_c = jnp.minimum(cands, jnp.maximum(hi, 0)[:, None])
-        sizes = total_sizes(fb, cands_c, cfg, interpret)
+        sizes = size_fn(cands_c)
         feas = (sizes <= budget[:, None]) & (cands <= hi[:, None])
         any_f = jnp.any(feas, axis=-1)
         best = jnp.max(jnp.where(feas, cands_c, lo[:, None]), axis=-1)
@@ -654,8 +701,8 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
             out = jnp.where(m, x[:, j], out)
         return out
 
-    if _use_v3(b, p_tot):
-        bits, word, widx, freg, fwc = _v3_call(fb, cands_c, cfg, True, interpret)
+    if pl3 is not None:
+        bits, word, widx, freg, fwc = _v3_call(pl3, cands_c, True, interpret)
         sizes = (4 * (bits + fb.n_header[:, None]) + 7) & ~7
         feas = (sizes <= budget[:, None]) & (cands <= jnp.maximum(hi, lo)[:, None])
         feas = feas.at[:, 0].set(feas[:, 0] | True)  # lane 0 = lo fallback

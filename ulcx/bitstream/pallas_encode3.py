@@ -50,7 +50,7 @@ UNROLL = CHUNK if _u == "full" else int(_u)  # Mosaic: only 1 or full
 # inter-phase HBM traffic, same log count, bit-identical qi.
 
 
-def _p1(nout_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc):
+def _p1(nout_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc, *, unroll: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -85,7 +85,7 @@ def _p1(nout_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc):
         return qmin, qmax
 
     qmin, qmax = lax.fori_loop(
-        0, CHUNK, body, (qmin_sc[...], qmax_sc[...]), unroll=UNROLL
+        0, CHUNK, body, (qmin_sc[...], qmax_sc[...]), unroll=unroll
     )
     qmin_sc[...] = qmin
     qmax_sc[...] = qmax
@@ -95,7 +95,7 @@ def _p1(nout_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc):
 # Phase 2: reverse backfill.
 
 
-def _p2(nout_ref, coef_ref, aux_ref, s12_ref, state_ref, st_sc):
+def _p2(nout_ref, coef_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -138,7 +138,7 @@ def _p2(nout_ref, coef_ref, aux_ref, s12_ref, state_ref, st_sc):
 
     out = lax.fori_loop(
         0, CHUNK, body, (st_sc[0], st_sc[1], st_sc[2], st_sc[3], st_sc[4]),
-        unroll=UNROLL,
+        unroll=unroll,
     )
     for i in range(5):
         st_sc[i] = out[i]
@@ -163,7 +163,7 @@ def _p2(nout_ref, coef_ref, aux_ref, s12_ref, state_ref, st_sc):
 
 
 def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
-        hfmeta_ref, state_ref, *rest, materialize: bool):
+        hfmeta_ref, state_ref, *rest, materialize: bool, unroll: int):
     if materialize:
         (hdr_ref, bits_ref, word_ref, widx_ref, freg_ref, fwc_ref, st_sc) = rest
     else:
@@ -360,7 +360,7 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
     n_carry = 7 if materialize else 4
     out = lax.fori_loop(
         0, CHUNK, body, tuple(st_sc[i] for i in range(n_carry)),
-        unroll=UNROLL,
+        unroll=unroll,
     )
     for i in range(n_carry):
         st_sc[i] = out[i]
@@ -397,6 +397,9 @@ def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
     n_chunks = p_tot // CHUNK
     g = nout.shape[0]
     grid = (g, n_chunks)
+    # full unroll is a Mosaic scheduling win; under interpret (CPU
+    # tests) it only multiplies trace/compile time by ~100x
+    unroll = 1 if interpret else UNROLL
 
     in_spec = pl.BlockSpec(
         (None, CHUNK, 1, LAN), lambda gg, j: (gg, j, 0, 0),
@@ -425,7 +428,7 @@ def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
     )
 
     s12 = pl.pallas_call(
-        _p1,
+        functools.partial(_p1, unroll=unroll),
         grid=grid,
         in_specs=[whole, in_spec, in_spec],
         out_specs=chunk_spec,
@@ -438,7 +441,7 @@ def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
     )(nout, coef, aux)
 
     state = pl.pallas_call(
-        _p2,
+        functools.partial(_p2, unroll=unroll),
         grid=grid,
         in_specs=[whole, rin_spec, rin_spec, rchunk_spec],
         out_specs=rchunk_spec,
@@ -448,7 +451,7 @@ def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
     )(nout, coef, aux, s12)
 
     coefn = jnp.concatenate([coef[:, 1:], coef[:, -1:]], axis=1)
-    kern3 = functools.partial(_p3, materialize=materialize)
+    kern3 = functools.partial(_p3, materialize=materialize, unroll=unroll)
     in_specs = [whole, in_spec, in_spec, lin_spec, in_spec, lin_spec,
                 lin_spec, chunk_spec]
     if materialize:
