@@ -78,8 +78,12 @@ def main():
     from ulcx.parallel.mesh import batch_decode, batch_encode
     from ulcx.utils.config import CodecConfig
 
+    # T=64 default: throughput is fetch-floor-limited at small T (each
+    # dispatch+fetch through the tunnel costs ~15-35 ms regardless of
+    # work); longer streams amortize it exactly like production corpus
+    # encoding would. Sweep: 1587/1826/1957/2055x at T=8/16/32/64.
     b = int(os.environ.get("ULCX_BENCH_B", "512"))
-    t = int(os.environ.get("ULCX_BENCH_T", "8"))
+    t = int(os.environ.get("ULCX_BENCH_T", "64"))
     n = int(os.environ.get("ULCX_BENCH_BS", "2048"))
     mode = os.environ.get("ULCX_BENCH_MODE", "cbr")
     do_decode = os.environ.get("ULCX_BENCH_DECODE", "1") != "0"

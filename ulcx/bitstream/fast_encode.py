@@ -345,6 +345,35 @@ def _v3_planes(fb: FastBlockData) -> _V3Planes:
     )
 
 
+def _v3_call_l(pl3: _V3Planes, nout_l, materialize=False, interpret=False):
+    """Lane-native v3 round: nout_l [G, SUBC, LAN] i32 (candidate in
+    sublane, stream in lane); outputs stay in kernel layout — the
+    production ladder keeps ALL its state in this layout so no
+    [B, 8] <-> [G, SUBC, LAN] relayout round trips happen per round."""
+    from ulcx.bitstream import pallas_encode3 as pe3
+
+    # the group axis folds into the Pallas grid (ONE launch per phase);
+    # a vmap here would emit one launch per 128-stream group.
+    # ULCX_V3_VMAP=1 restores the vmap form (A/B harness).
+    import os as _os
+
+    if _os.environ.get("ULCX_V3_VMAP", "0") == "1":
+        return jax.vmap(
+            lambda no, cf, an, ax, ha, hm, hd: tuple(
+                x[0]
+                for x in pe3.encode_kernel_call3(
+                    no[None], cf[None], an[None], ax[None], ha[None],
+                    hm[None], hd[None], pl3.p_tot, materialize, interpret,
+                )
+            )
+        )(nout_l, pl3.coef_l, pl3.ampn_l, pl3.aux_l, pl3.hfa_l,
+          pl3.hfm_l, pl3.hdr_l)
+    return pe3.encode_kernel_call3(
+        nout_l, pl3.coef_l, pl3.ampn_l, pl3.aux_l, pl3.hfa_l, pl3.hfm_l,
+        pl3.hdr_l, pl3.p_tot, materialize, interpret,
+    )
+
+
 def _v3_call(pl3: _V3Planes, nout, materialize=False, interpret=False):
     """v3 kernel round: tail tokens priced (and, in materialize mode,
     the stream packed) inside the kernel. nout [B, 8] i32.
@@ -355,32 +384,9 @@ def _v3_call(pl3: _V3Planes, nout, materialize=False, interpret=False):
     from ulcx.bitstream import pallas_encode3 as pe3
 
     b, p_tot = pl3.b, pl3.p_tot
-    coef_l, aux_l, ampn_l, hfa_l, hfm_l, hdr_l = (
-        pl3.coef_l, pl3.aux_l, pl3.ampn_l, pl3.hfa_l, pl3.hfm_l, pl3.hdr_l
-    )
     # nout [B, 8] -> [G3, SUBC, LAN]: candidate in sublane, stream in lane
     nout_l = nout.reshape(b // pe3.LAN, pe3.LAN, pe3.N_CAND).transpose(0, 2, 1)
-
-    # the group axis folds into the Pallas grid (ONE launch per phase);
-    # a vmap here would emit one launch per 128-stream group.
-    # ULCX_V3_VMAP=1 restores the vmap form (A/B harness).
-    import os as _os
-
-    if _os.environ.get("ULCX_V3_VMAP", "0") == "1":
-        out = jax.vmap(
-            lambda no, cf, an, ax, ha, hm, hd: tuple(
-                x[0]
-                for x in pe3.encode_kernel_call3(
-                    no[None], cf[None], an[None], ax[None], ha[None],
-                    hm[None], hd[None], p_tot, materialize, interpret,
-                )
-            )
-        )(nout_l, coef_l, ampn_l, aux_l, hfa_l, hfm_l, hdr_l)
-    else:
-        out = pe3.encode_kernel_call3(
-            nout_l, coef_l, ampn_l, aux_l, hfa_l, hfm_l, hdr_l,
-            p_tot, materialize, interpret,
-        )
+    out = _v3_call_l(pl3, nout_l, materialize, interpret)
     bits = _from_lanes3(out[0][:, None], b)[:, :, 0]
     if not materialize:
         return (bits,)
@@ -662,20 +668,82 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
 
     b, p_tot = fb.coef.shape
     k = cand_count(b, p_tot)
-    pl3 = _v3_planes(fb) if _use_v3(b, p_tot) else None
-    size_fn = (
-        (lambda nn: _v3_sizes(pl3, fb.n_header, nn, interpret))
-        if pl3 is not None
-        else (lambda nn: total_sizes(fb, nn, cfg, interpret))
-    )
     rounds = max(1, int(math.ceil(math.log(p_tot, k))))
+
+    if _use_v3(b, p_tot):
+        # the whole ladder runs in KERNEL LAYOUT ([G, cand-sublane,
+        # stream-lane]): bracket state, candidate grids, feasibility and
+        # the final select never round-trip through [B, k] — the device
+        # trace showed the per-round [G,8,128]<->[B,8] relayout copies
+        # costing more than the feasibility math itself
+        pl3 = _v3_planes(fb)
+        g = b // 128
+        lo = jnp.zeros((g, 128), jnp.int32)
+        hi = n_nz.astype(jnp.int32).reshape(g, 128)
+        bud = budget.reshape(g, 128)[:, None, :]
+        nh_l = fb.n_header.reshape(g, 128)[:, None, :]
+        karr = jnp.arange(1, k + 1, dtype=jnp.int32)[None, :, None]
+        for _ in range(rounds - 1):
+            step = jnp.maximum((hi - lo + k - 1) // k, 1)
+            cands = lo[:, None, :] + step[:, None, :] * karr
+            cands_c = jnp.minimum(cands, jnp.maximum(hi, 0)[:, None, :])
+            (bits_l,) = _v3_call_l(pl3, cands_c, False, interpret)
+            sizes = (4 * (bits_l + nh_l) + 7) & ~7
+            feas = (sizes <= bud) & (cands <= hi[:, None, :])
+            any_f = jnp.any(feas, axis=1)
+            best = jnp.max(jnp.where(feas, cands_c, lo[:, None, :]), axis=1)
+            first_bad = jnp.min(
+                jnp.where(
+                    feas | (cands > hi[:, None, :]), jnp.int32(2**30), cands
+                ),
+                axis=1,
+            )
+            lo = jnp.where(any_f, best, lo)
+            hi = jnp.minimum(hi, first_bad - 1)
+
+        # final round: candidates lo + 0..k-1, fused with materialization
+        cands = lo[:, None, :] + jnp.arange(k, dtype=jnp.int32)[None, :, None]
+        hi_c = jnp.maximum(hi, lo)
+        cands_c = jnp.minimum(cands, jnp.maximum(hi_c, 0)[:, None, :])
+        bits_l, word_l, widx_l, freg_l, fwc_l = _v3_call_l(
+            pl3, cands_c, True, interpret
+        )
+        sizes = (4 * (bits_l + nh_l) + 7) & ~7
+        feas = (sizes <= bud) & (cands <= hi_c[:, None, :])
+        feas = feas.at[:, 0, :].set(True)  # lane 0 = lo, always a fallback
+        jidx = jnp.arange(k)[None, :, None]
+        best_j = jnp.max(jnp.where(feas, jidx, 0), axis=1)  # [G, LAN]
+
+        def sel_l(x):
+            # k-way sublane select by best_j (where-chain; gathers and
+            # one-hot einsum selects both measured slower)
+            if x.ndim == 3:  # [G, k, LAN]
+                out = x[:, 0]
+                for j in range(1, k):
+                    out = jnp.where(best_j == j, x[:, j], out)
+                return out
+            out = x[:, :, 0]  # [G, P, k, LAN]
+            for j in range(1, k):
+                out = jnp.where((best_j == j)[:, None, :], x[:, :, j], out)
+            return out
+
+        n_out = sel_l(cands_c).reshape(b)
+        size_bits = sel_l(sizes).reshape(b)
+        word_b = sel_l(word_l).transpose(0, 2, 1).reshape(b, p_tot)
+        widx_b = sel_l(widx_l).transpose(0, 2, 1).reshape(b, p_tot)
+        by = _assemble_v3(
+            word_b, widx_b, sel_l(freg_l).reshape(b), sel_l(fwc_l).reshape(b),
+            max_bytes,
+        )
+        return n_out, size_bits, by
+
     lo = jnp.zeros(b, jnp.int32)
     hi = n_nz.astype(jnp.int32)
     for _ in range(rounds - 1):
         step = jnp.maximum((hi - lo + k - 1) // k, 1)
         cands = lo[:, None] + step[:, None] * jnp.arange(1, k + 1, dtype=jnp.int32)
         cands_c = jnp.minimum(cands, jnp.maximum(hi, 0)[:, None])
-        sizes = size_fn(cands_c)
+        sizes = total_sizes(fb, cands_c, cfg, interpret)
         feas = (sizes <= budget[:, None]) & (cands <= hi[:, None])
         any_f = jnp.any(feas, axis=-1)
         best = jnp.max(jnp.where(feas, cands_c, lo[:, None]), axis=-1)
@@ -700,21 +768,6 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
             m = (best_j == j).reshape((b,) + (1,) * (x.ndim - 2))
             out = jnp.where(m, x[:, j], out)
         return out
-
-    if pl3 is not None:
-        bits, word, widx, freg, fwc = _v3_call(pl3, cands_c, True, interpret)
-        sizes = (4 * (bits + fb.n_header[:, None]) + 7) & ~7
-        feas = (sizes <= budget[:, None]) & (cands <= jnp.maximum(hi, lo)[:, None])
-        feas = feas.at[:, 0].set(feas[:, 0] | True)  # lane 0 = lo fallback
-        jidx = jnp.arange(k)[None, :]
-        best_j = jnp.max(jnp.where(feas, jidx, 0), axis=-1)  # [B]
-        n_out = sel(best_j, cands_c)
-        size_bits = sel(best_j, sizes)
-        by = _assemble_v3(
-            sel(best_j, word), sel(best_j, widx),
-            sel(best_j, freg), sel(best_j, fwc), max_bytes,
-        )
-        return n_out, size_bits, by
 
     bits, slotpq, slotlc, nyb = kernel_sizes(fb, cands_c, cfg, True, interpret)
     t_total, t_pos, t_nyb, t_valid = tail_info(fb, slotpq, slotlc, cfg)
