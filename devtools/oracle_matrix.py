@@ -44,7 +44,28 @@ def run(n, c, mode, t=4, transients=True, **kw):
         e = p[1:] - ref
         return 10 * np.log10(np.sum(ref**2) / max(np.sum(e**2), 1e-30))
 
-    return sd, rms, snr(pu), snr(po)
+    # per-block decomposition (VERDICT r2 #9): how much of the f32-vs-
+    # f64 deviation is byte-identical blocks vs tie-flipped coding
+    # decisions, and does any flip degrade quality?
+    n_match = 0
+    dsnrs = []
+    for i in range(len(do)):
+        bu = np.asarray(du[i][: int(su[i]) // 8]).tobytes()
+        n_match += bu == do[i]
+        r = blocks[i].astype(np.float64) if i + 1 < len(do) else None
+        if r is not None:
+            eu = pu[i + 1] - r
+            eo = po[i + 1] - r
+            p_ref = max(np.sum(r**2), 1e-30)
+            s_u = 10 * np.log10(p_ref / max(np.sum(eu**2), 1e-30))
+            s_o = 10 * np.log10(p_ref / max(np.sum(eo**2), 1e-30))
+            dsnrs.append(s_u - s_o)
+    per_block = dict(
+        match_frac=n_match / len(do),
+        worst_dsnr=float(min(dsnrs)) if dsnrs else 0.0,
+        best_dsnr=float(max(dsnrs)) if dsnrs else 0.0,
+    )
+    return sd, rms, snr(pu), snr(po), per_block
 
 
 CASES = [
@@ -57,9 +78,11 @@ CASES = [
 ]
 
 for name, kw in CASES:
-    sd, rms, s_u, s_o = run(**kw)
+    sd, rms, s_u, s_o, pb = run(**kw)
     print(
         f"{name:28s} sizeD {100*sd:6.3f}%  rms {rms:.2e}  "
-        f"snr_ulcx {s_u:6.2f}  snr_oracle {s_o:6.2f}  dsnr {s_u-s_o:+.2f}",
+        f"snr_ulcx {s_u:6.2f}  snr_oracle {s_o:6.2f}  dsnr {s_u-s_o:+.2f}  "
+        f"blocks byte-id {100*pb['match_frac']:5.1f}%  "
+        f"per-block dsnr [{pb['worst_dsnr']:+.2f}, {pb['best_dsnr']:+.2f}] dB",
         flush=True,
     )

@@ -72,18 +72,25 @@ def _transient_filtering(samples: jnp.ndarray, st: TransientState, cfg: CodecCon
     hp = jnp.sum((-t0 + 2 * t1 - t2) ** 2, axis=-2)  # [N], summed over channels
     bp = jnp.sum((-t0 + t2) ** 2, axis=-2)
 
-    # forward smear (amplitude domain)
+    # forward smear (amplitude domain). The Toeplitz-matmul EMA needs an
+    # [N, N] kernel constant (~67 MB of f32 at N=4096, several of them)
+    # which overflows the tunneled backend's compile payload limit, so
+    # large blocks use the associative-scan form instead (same
+    # recurrence, O(eps) association difference).
+    do_mm = n <= 2048
+    ema_f = ema_matmul if do_mm else ema
+
     r_hp = math.exp(-_RATE_HP_FWD / rate_hz)
     r_bp = math.exp(-_RATE_BP_FWD / rate_hz)
-    env_hp = ema_matmul(jnp.sqrt(hp), r_hp, st.env_hp)
-    env_bp = ema_matmul(jnp.sqrt(bp), r_bp, st.env_bp)
+    env_hp = ema_f(jnp.sqrt(hp), r_hp, st.env_hp)
+    env_bp = ema_f(jnp.sqrt(bp), r_bp, st.env_bp)
 
     # backward smear; d uses the pre-update envelope, the cross products
     # use the post-update one (reference :96-104)
     rb_hp = math.exp(-_RATE_HP_BWD / rate_hz)
     rb_bp = math.exp(-_RATE_BP_BWD / rate_hz)
-    pre_hp = ema_matmul(env_hp, rb_hp, env_hp[..., -1], reverse=True)
-    pre_bp = ema_matmul(env_bp, rb_bp, env_bp[..., -1], reverse=True)
+    pre_hp = ema_f(env_hp, rb_hp, env_hp[..., -1], reverse=True)
+    pre_bp = ema_f(env_bp, rb_bp, env_bp[..., -1], reverse=True)
     # pre-update env at n == post-update env at n+1 (scanning right->left)
     before_hp = jnp.concatenate([pre_hp[..., 1:], env_hp[..., -1:]], axis=-1)
     before_bp = jnp.concatenate([pre_bp[..., 1:], env_bp[..., -1:]], axis=-1)
@@ -93,7 +100,7 @@ def _transient_filtering(samples: jnp.ndarray, st: TransientState, cfg: CodecCon
 
     # segment integration with the block-mask EMA
     r_blk = math.exp(-_RATE_BLOCK * cfg.block_size / rate_hz)
-    em = ema_matmul(err, r_blk, st.env_block)
+    em = ema_f(err, r_blk, st.env_block)
     seg_new = jnp.sum(em.reshape(8, n // 8), axis=-1)
 
     return TransientState(

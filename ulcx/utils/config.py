@@ -46,7 +46,10 @@ class CodecConfig:
     # DCT-IV (O(N log N), needed for very large blocks), "auto" picks
     # per subblock size.
     transform_backend: str = "auto"
-    matmul_max_n: int = 4096
+    # 2048: the n=4096 cosine matrices alone are ~67 MB of f32 program
+    # constants (x2 for DST), which overflows the remote-compile
+    # payload limit on the tunneled backend; FFT takes over above this
+    matmul_max_n: int = 2048
     # CBR/ABR rate search: "ladder" evaluates 16 candidates per scan
     # round (TPU-native, exact under monotone Size(n)); "bisect"
     # replicates the reference's sequential bisection step-for-step.
