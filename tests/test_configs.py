@@ -59,11 +59,11 @@ def test_config3_vbr_quality_sweep(tmp_path, rng):
     wav = str(tmp_path / "s.wav")
     _write_wav(wav, st, 2)
     sizes = []
-    for q in (20, 60, 90):
+    for q in (20, 90):  # each distinct quality is its own jit compile
         ulc = str(tmp_path / f"q{q}.ulc")
         assert encode_main(["e", wav, ulc, f"-{q}", f"-blocksize:{N}"]) == 0
         sizes.append(os.path.getsize(ulc))
-    assert sizes[0] < sizes[1] < sizes[2], sizes
+    assert sizes[0] < sizes[1], sizes
 
 
 def test_config4_abr_blocksize_sweep(tmp_path, rng):

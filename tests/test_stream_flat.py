@@ -1,6 +1,9 @@
 """Flat whole-chunk encode (scan only over window control) must equal
-the per-block kernel path exactly — same analysis, same kernels, just
-T folded into the batch (ulcx/analysis/batched.py:analyze_stream_batched)."""
+the per-block path exactly — same analysis, same bitstream passes, just
+T folded into the batch (ulcx/analysis/batched.py:analyze_stream_batched).
+
+The comparison runs the kernel path (what production flat mode uses);
+interpret mode is slow per op, so T is kept small."""
 
 import numpy as np
 import jax
@@ -14,14 +17,17 @@ from ulcx.codec.encoder import (
 from ulcx.utils.config import CodecConfig
 
 
-def test_flat_stream_equals_per_block_kernel_path(rng):
-    b, t, n, c = 8, 3, 256, 2
+def _compare(rng, t, use_pallas):
+    b, n, c = 8, 256, 2
     blocks = jnp.asarray(
         (rng.standard_normal((b, t, c, n)) * 0.3).astype(np.float32)
     )
     # a transient to vary window patterns across blocks
     blocks = blocks.at[:4, 1, :, 100:140].add(0.6)
-    cfg = CodecConfig(rate_hz=44100, n_chan=c, block_size=n, use_pallas="on", flat_stream=True)
+    cfg = CodecConfig(
+        rate_hz=44100, n_chan=c, block_size=n, use_pallas=use_pallas,
+        flat_stream=True,
+    )
 
     out_flat, carry_flat = encode_stream_batched(
         blocks, cfg, "cbr", rate_kbps=128.0
@@ -56,3 +62,10 @@ def test_flat_stream_equals_per_block_kernel_path(rng):
             np.asarray(a, np.float64), np.asarray(bb, np.float64),
             rtol=1e-5, atol=1e-6,
         )
+
+
+def test_flat_stream_equals_per_block_kernel_path(rng):
+    # the scan-path variant of this comparison was measured MORE
+    # expensive than interpret-mode kernels (vmapped per-stream scan
+    # compiles); the kernel path is also what production flat mode runs
+    _compare(rng, t=2, use_pallas="on")

@@ -335,16 +335,19 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
             pos_cnt = cnt + cnt_tail
 
             # per-lane nybble shift register: one u32 = 8 nybbles.
-            # Variable shifts lower poorly on Mosaic (round-2 A/B), so
-            # both shift-by-fill forms are 8-way static-select chains.
-            lo_add = pos_packed  # fill == 0
-            for f in range(1, 8):
-                lo_add = jnp.where(fill == f, pos_packed << (4 * f), lo_add)
-            residue = jnp.zeros((SUBC, LAN), jnp.int32)  # fill == 0
-            for f in range(1, 8):
-                residue = jnp.where(
-                    fill == f, pos_packed >> (4 * (8 - f)), residue
-                )
+            # Variable shifts lower poorly on Mosaic (round-2 A/B);
+            # shift-by-fill decomposes over fill's BITS (3 predicated
+            # static shifts instead of an 8-deep select chain — the
+            # materialize walk is latency-bound on exactly this chain).
+            lo_add = jnp.where((fill & 1) == 1, pos_packed << 4, pos_packed)
+            lo_add = jnp.where((fill & 2) == 2, lo_add << 8, lo_add)
+            lo_add = jnp.where((fill & 4) == 4, lo_add << 16, lo_add)
+            # residue = pos_packed >> (32 - 4*fill): decompose 8 - fill
+            inv = 8 - fill
+            residue = jnp.where((inv & 1) == 1, pos_packed >> 4, pos_packed)
+            residue = jnp.where((inv & 2) == 2, residue >> 8, residue)
+            residue = jnp.where((inv & 4) == 4, residue >> 16, residue)
+            residue = jnp.where(fill == 0, 0, residue)
             full = reg | lo_add
             newfill = fill + pos_cnt
             crossed = newfill >= 8

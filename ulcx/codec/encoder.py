@@ -273,9 +273,12 @@ def encode_stream_batched(blocks, cfg: CodecConfig, mode: str, carry=None, **kw)
     if carry is None:
         carry = init_carry_batched(cfg, b)
 
-    if cfg.flat_stream and _use_kernel(cfg, b * t):
+    if cfg.flat_stream:
         carry, ab = analyze_stream_batched(carry, blocks, cfg)
-        enc = _encode_analyzed_fast(ab, cfg, mode, **kw)
+        if _use_kernel(cfg, b * t):
+            enc = _encode_analyzed_fast(ab, cfg, mode, **kw)
+        else:
+            enc = jax.vmap(lambda a: _encode_analyzed(a, cfg, mode, **kw))(ab)
         out = jax.tree_util.tree_map(
             lambda x: x.reshape((b, t) + x.shape[1:]), enc
         )

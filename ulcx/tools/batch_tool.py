@@ -26,7 +26,27 @@ from ulcx.io.wavio import WavReader
 from ulcx.utils.config import CodecConfig
 
 
+
+def _setup_jit_cache():
+    """Persistent jit cache: CLI invocations recompile identical
+    programs otherwise (~40 s per run on CPU, minutes on TPU)."""
+    import os
+
+    import jax
+
+    try:
+        d = os.environ.get(
+            "ULCX_JIT_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "ulcx-jit"),
+        )
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
 def main(argv=None) -> int:
+    _setup_jit_cache()
     argv = sys.argv if argv is None else argv
     if len(argv) < 4:
         print(__doc__)
