@@ -90,6 +90,41 @@ def main():
             assert bys[i, :nb].tobytes() == np.asarray(want_by)[:nb].tobytes(), i
             ok += 1
     print(f"materialize: {ok} streams byte-equal")
+
+    # decode leg: the FSM kernel's 14-bit pos carry at P=8192 (stereo
+    # bs4096) vs the scan decoder on CPU, same streams
+    from ulcx.codec.decoder import decode_stream, decode_stream_batched
+
+    win = 2 * c * n
+    streams = np.zeros((b, win + 64), np.uint8)
+    for i in range(b):
+        nb = int(sizes[i]) // 8
+        streams[i, :nb] = bys[i, :nb]
+    sj = jnp.asarray(streams)
+    pcm_k, bits_k, cor_k = jax.jit(
+        lambda s: decode_stream_batched(s, 1, win, cfg)
+    )(sj)
+    pcm_k = np.asarray(pcm_k)
+    assert not np.asarray(cor_k).any(), "kernel decode flagged corrupt"
+    ok = 0
+    with jax.default_device(cpu):
+        dec_scan = jax.jit(lambda s: decode_stream(s, 1, win, cfg)[:3])
+        for i in range(0, b, 31):
+            pcm_s, bits_s, cor_s = dec_scan(sj[i])
+            assert not bool(np.asarray(cor_s).any()), i
+            assert int(bits_k[i, 0]) == int(np.asarray(bits_s)[0]), i
+            ref = np.asarray(pcm_s, np.float64)
+            err = pcm_k[i].astype(np.float64) - ref
+            rel = np.sqrt(err.var() / max(ref.var(), 1e-30))
+            print(
+                f"  stream {i}: bits match; rel RMS {rel:.2e} "
+                f"max|err| {np.abs(err).max():.2e} "
+                f"max|ref| {np.abs(ref).max():.2e}"
+            )
+            # TPU matmul IMDCT vs CPU f32: float-level agreement only
+            assert rel < 1e-4, (i, rel)
+            ok += 1
+    print(f"decode: {ok} streams match the scan decoder")
     print("P=8192 kernel path: OK")
 
 

@@ -23,10 +23,18 @@ def main():
     from ulcx.utils.config import CodecConfig
     from bench import make_corpus
 
-    b, t, n = 512, 8, 2048
-    cfg = CodecConfig(rate_hz=44100, n_chan=2, block_size=n)
-    blocks = jnp.asarray(make_corpus(b, t, n))
-    fn = jax.jit(lambda x: batch_encode(x, cfg, "cbr", rate_kbps=128.0))
+    b = int(os.environ.get("ULCX_BENCH_B", "512"))
+    t = int(os.environ.get("ULCX_BENCH_T", "8"))
+    n = int(os.environ.get("ULCX_BENCH_BS", "2048"))
+    c = int(os.environ.get("ULCX_BENCH_C", "2"))
+    mode = os.environ.get("ULCX_BENCH_MODE", "cbr")
+    kw = {"rate_kbps": 128.0} if mode in ("cbr", "abr") else {"quality": 50.0}
+    if mode == "abr":
+        kw["avg_complexity"] = 0.5
+    cfg = CodecConfig(rate_hz=44100, n_chan=c, block_size=n)
+    corpus = make_corpus(b, t, n)
+    blocks = jnp.asarray(corpus[:, :, :c])
+    fn = jax.jit(lambda x: batch_encode(x, cfg, mode, **kw))
     o, _ = fn(blocks)
     np.asarray(o.size_bits)  # compile + warm
 

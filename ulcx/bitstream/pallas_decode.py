@@ -80,8 +80,9 @@ def _expand_quant(qi):
 
 def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
                 *, p_tot: int, n: int, t_len: int):
-    """Single packed loop carry: pos(13) | mode(4)<<13 | qi(5)<<17 |
-    r0(8)<<22 | corrupt(1)<<30.
+    """Single packed loop carry: pos(14) | mode(4)<<14 | qi(5)<<18 |
+    r0(8)<<23 | corrupt(1)<<31 — exactly 32 bits; pos reaches p_tot
+    inclusive, so 14 bits cover the P=8192 envelope (stereo bs4096).
 
     The Mosaic TPU compiler (as shipped here) fails on loops where a
     second carry is updated under a predicate derived from another,
@@ -109,11 +110,11 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
         return cb + se
 
     def body(t, st):
-        pos = st & 0x1FFF
-        mode = (st >> 13) & 0xF
-        qi = (st >> 17) & 0x1F
-        r0 = (st >> 22) & 0xFF
-        corrupt = (st >> 30) & 1
+        pos = st & 0x3FFF
+        mode = (st >> 14) & 0xF
+        qi = (st >> 18) & 0x1F
+        r0 = (st >> 23) & 0xFF
+        corrupt = (st >> 31) & 1
         x = nyb_ref[t, :]
         active = (mode != M_DONE) & (corrupt == 0)
         se = seg_end_of(pos)
@@ -242,7 +243,7 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
         emit = active & emit
         rec = jnp.where(
             emit,
-            jnp.clip(pos, 0, p_tot)
+            jnp.clip(pos, 0, 8191)  # valid starts are < p_tot <= 8192
             | (jnp.clip(rcount, 0, 8191) << 13)
             | (rtype << 26),
             0,
@@ -251,15 +252,15 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
         code_ref[t, :] = jnp.where(emit, r_a | (r_dn << 5) | (qi << 13), 0)
 
         packed = (
-            jnp.clip(jnp.where(active, new_pos, pos), 0, 0x1FFF)
-            | (jnp.where(active, new_m, mode) << 13)
-            | (jnp.where(active, new_qi, qi) << 17)
-            | (jnp.where(active, new_r0 & 0xFF, r0) << 22)
-            | (jnp.where(active, new_cor, corrupt) << 30)
+            jnp.clip(jnp.where(active, new_pos, pos), 0, 0x3FFF)
+            | (jnp.where(active, new_m, mode) << 14)
+            | (jnp.where(active, new_qi, qi) << 18)
+            | (jnp.where(active, new_r0 & 0xFF, r0) << 23)
+            | (jnp.where(active, new_cor, corrupt) << 31)
         )
         return packed
 
-    init = jnp.full((LANES,), M_QUANT_START << 13, jnp.int32)
+    init = jnp.full((LANES,), M_QUANT_START << 14, jnp.int32)
     final = lax.fori_loop(0, t_len, body, init, unroll=UNROLL)
     meta_ref[0, :] = final
 
@@ -286,8 +287,8 @@ def fsm_kernel_call(wc, nybbles, p_tot: int, n: int, interpret: bool = False):
     )(jnp.broadcast_to(wc[None, :], (8, LANES)).astype(jnp.int32), nybbles)
     final = meta[0]
     consumed = jnp.sum((rec >> 29) & 1, axis=0).astype(jnp.int32)
-    mode_f = (final >> 13) & 0xF
-    corrupt = ((final >> 30) & 1) | (mode_f != 14).astype(jnp.int32)
+    mode_f = (final >> 14) & 0xF
+    corrupt = ((final >> 31) & 1) | (mode_f != 14).astype(jnp.int32)
     return rec & ((1 << 29) - 1), code, consumed, corrupt
 
 

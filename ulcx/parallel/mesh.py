@@ -81,8 +81,12 @@ def batch_decode(
     """Decode a batch of padded byte streams [B, S] -> pcm [B, T, C, N]."""
     from ulcx.codec.decoder import decode_stream_batched
 
-    use_kernel = cfg.use_pallas != "off" and (
-        cfg.use_pallas == "on" or jax.default_backend() not in ("cpu",)
+    use_kernel = (
+        cfg.use_pallas != "off"
+        and (cfg.use_pallas == "on" or jax.default_backend() not in ("cpu",))
+        # the FSM carry packs pos in 14 bits (pos reaches p_tot
+        # inclusive): larger blocks take the scan decoder
+        and cfg.n_chan * cfg.block_size <= 8192
     )
 
     def vmapped(ss):
