@@ -618,25 +618,36 @@ def _assemble(fb: FastBlockData, packed, t_pos, t_nyb, t_valid, max_bytes: int):
     return size_bits, by
 
 
-def _assemble_v3(word, widx, freg, fwc, max_bytes: int):
-    """Compact in-kernel-packed stream words into byte streams.
-
-    word/widx [B, P]: the emitted u32 word at each position (index 2**30
-    where no word completed there). Word indices of valid entries are
-    exactly 0..fwc-1 in position order, so one two-operand [B, P]
+def _assemble_v3_lanes(word, widx, freg, fwc, max_bytes: int):
+    """Compact in-kernel-packed stream words into byte streams, in
+    kernel lane layout: word/widx [G, P, LAN] (the emitted u32 word at
+    each position; index 2**30 where no word completed), freg/fwc
+    [G, LAN]; returns bytes [G*LAN, max_bytes]. Word indices of valid
+    entries are exactly 0..fwc-1 in position order, so one two-operand
     lax.sort places every completed word; the final partial register is
-    appended at index fwc with an iota compare (no scatter)."""
-    b, p_tot = word.shape
+    appended at index fwc with an iota compare (no scatter).
+
+    The compaction sort runs along the POSITION axis (axis 1) with
+    streams kept in lanes: a non-minor-dim lax.sort costs the same as a
+    last-dim sort on this backend (devtools/sort_probe.py — every
+    comparator stage is an elementwise min/max over [P, LAN] tiles), so
+    the [G,P,LAN] -> [B,P] relayout copies the device trace showed
+    around the old sort (~1.5 ms each per block step at P=8192) are
+    deleted, and only the n_words = P/4 prefix is transposed after."""
+    g, p_tot, lan = word.shape
     n_words = (2 * max_bytes) // 8
-    _, sval = lax.sort((widx, word), dimension=-1, num_keys=1)
-    iota = jnp.arange(n_words, dtype=jnp.int32)[None, :]
-    wc = fwc[:, None]
+    _, sval = lax.sort((widx, word), dimension=1, num_keys=1)
+    iota = jnp.arange(n_words, dtype=jnp.int32)[None, :, None]
+    wc = fwc[:, None, :]
     words = jnp.where(
-        iota < wc, sval[:, :n_words], jnp.where(iota == wc, freg[:, None], 0)
+        iota < wc,
+        sval[:, :n_words],
+        jnp.where(iota == wc, freg[:, None, :], 0),
     )
+    words_b = words.transpose(0, 2, 1).reshape(g * lan, n_words)
     sh = jnp.arange(4) * 8
-    by = ((words[:, :, None] >> sh[None, None, :]) & 0xFF).astype(jnp.uint8)
-    return by.reshape(b, 4 * n_words)
+    by = ((words_b[:, :, None] >> sh[None, None, :]) & 0xFF).astype(jnp.uint8)
+    return by.reshape(g * lan, 4 * n_words)
 
 
 def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
@@ -647,11 +658,21 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
     k = cand_count(b, p_tot)
     noutk = jnp.broadcast_to(n_out[:, None], (b, k))
     if _use_v3(b, p_tot):
-        bits, word, widx, freg, fwc = _v3_call(
-            _v3_planes(fb), noutk, True, interpret
+        from ulcx.bitstream import pallas_encode3 as pe3
+
+        g = b // pe3.LAN
+        nout_l = jnp.broadcast_to(
+            n_out.astype(jnp.int32).reshape(g, 1, pe3.LAN),
+            (g, pe3.SUBC, pe3.LAN),
         )
-        size_bits = (4 * (bits[:, 0] + fb.n_header) + 7) & ~7
-        by = _assemble_v3(word[:, 0], widx[:, 0], freg[:, 0], fwc[:, 0], max_bytes)
+        bits_l, word_l, widx_l, freg_l, fwc_l = _v3_call_l(
+            _v3_planes(fb), nout_l, True, interpret
+        )
+        size_bits = (4 * (bits_l[:, 0, :].reshape(b) + fb.n_header) + 7) & ~7
+        by = _assemble_v3_lanes(
+            word_l[:, :, 0, :], widx_l[:, :, 0, :], freg_l[:, 0, :],
+            fwc_l[:, 0, :], max_bytes,
+        )
         return size_bits, by
     bits, slotpq, slotlc, nyb = kernel_sizes(fb, noutk, cfg, True, interpret)
     _, t_pos, t_nyb, t_valid = tail_info(fb, slotpq, slotlc, cfg)
@@ -729,10 +750,8 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
 
         n_out = sel_l(cands_c).reshape(b)
         size_bits = sel_l(sizes).reshape(b)
-        word_b = sel_l(word_l).transpose(0, 2, 1).reshape(b, p_tot)
-        widx_b = sel_l(widx_l).transpose(0, 2, 1).reshape(b, p_tot)
-        by = _assemble_v3(
-            word_b, widx_b, sel_l(freg_l).reshape(b), sel_l(fwc_l).reshape(b),
+        by = _assemble_v3_lanes(
+            sel_l(word_l), sel_l(widx_l), sel_l(freg_l), sel_l(fwc_l),
             max_bytes,
         )
         return n_out, size_bits, by

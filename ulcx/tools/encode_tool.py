@@ -67,23 +67,7 @@ def _parse_args(argv):
 
 
 
-def _setup_jit_cache():
-    """Persistent jit cache: CLI invocations recompile identical
-    programs otherwise (~40 s per run on CPU, minutes on TPU)."""
-    import os
-
-    import jax
-
-    try:
-        d = os.environ.get(
-            "ULCX_JIT_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "ulcx-jit"),
-        )
-        os.makedirs(d, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+from ulcx.tools._runtime import setup_cli_runtime as _setup_jit_cache
 
 def main(argv=None) -> int:
     _setup_jit_cache()
