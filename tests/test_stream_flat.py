@@ -18,7 +18,12 @@ from ulcx.utils.config import CodecConfig
 
 
 def _compare(rng, t, use_pallas):
-    b, n, c = 8, 256, 2
+    # mono: every flat-vs-per-block decision (window control carry,
+    # ranks, kernel rate search) is channel-count-independent, and the
+    # stereo M/S kernel path is byte-equality-tested in
+    # test_pallas_encode/test_encode_pass — interpret-mode kernels
+    # dominate suite wall time, so don't pay for 2 channels here
+    b, n, c = 8, 256, 1
     blocks = jnp.asarray(
         (rng.standard_normal((b, t, c, n)) * 0.3).astype(np.float32)
     )
@@ -29,16 +34,21 @@ def _compare(rng, t, use_pallas):
         flat_stream=True,
     )
 
-    out_flat, carry_flat = encode_stream_batched(
-        blocks, cfg, "cbr", rate_kbps=128.0
+    # jit both paths: run eagerly, every primitive (incl. each
+    # interpret-mode pallas step) compiles its own tiny executable —
+    # measured ~2900 compiles / 110 s for this test; jitted it's a few
+    flat_fn = jax.jit(
+        lambda x: encode_stream_batched(x, cfg, "cbr", rate_kbps=128.0)
     )
+    out_flat, carry_flat = flat_fn(blocks)
 
+    blk_fn = jax.jit(
+        lambda ca, x: encode_block_batched(ca, x, cfg, "cbr", rate_kbps=128.0)
+    )
     carry = init_carry_batched(cfg, b)
     outs = []
     for j in range(t):
-        carry, enc = encode_block_batched(
-            carry, blocks[:, j], cfg, "cbr", rate_kbps=128.0
-        )
+        carry, enc = blk_fn(carry, blocks[:, j])
         outs.append(enc)
 
     sizes_f = np.asarray(out_flat.size_bits)
