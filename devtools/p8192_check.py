@@ -1,13 +1,15 @@
-"""P=8192 kernel-path validation on hardware: stereo bs4096, B=128.
+"""P=8192 kernel-path validation on hardware: stereo bs4096 (default)
+or mono bs8192 (argv[1] = "mono8192"), B=128.
 
-The v3 kernel path's packed fields hold exactly P=8192 (rank/segdelta
-13 bits = 0..8191, ncp 14 bits); this checks byte-level agreement with
-the scan path on real shapes — sizes for a candidate ladder and
-materialized bytes for chosen counts — running the kernel on the
-default (TPU) backend and the scan oracle on the CPU backend in the
+The v3 kernel path's packed fields hold exactly P=8192 (rank 13 bits =
+0..8191, segdelta 14 bits — a segment LENGTH, so a full-block bs8192
+segment needs the 14th bit — ncp 14 bits); this checks byte-level
+agreement with the scan path on real shapes — sizes for a candidate
+ladder and materialized bytes for chosen counts — running the kernel on
+the default (TPU) backend and the scan oracle on the CPU backend in the
 same process.
 
-Usage: python devtools/p8192_check.py
+Usage: python devtools/p8192_check.py [mono8192]
 """
 
 from __future__ import annotations
@@ -43,6 +45,8 @@ def main():
     import test_encode_pass as tep
 
     n, c, b = 4096, 2, 128
+    if len(sys.argv) > 1 and sys.argv[1] == "mono8192":
+        n, c = 8192, 1
     tep.N, tep.C = n, c  # synth_block reads module globals
     tep.CFG = CodecConfig(rate_hz=44100, n_chan=c, block_size=n)
     cfg = tep.CFG

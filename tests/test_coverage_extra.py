@@ -78,6 +78,33 @@ def test_large_p_scan_fallback(rng):
     assert _roundtrip(cfg, rng, t=4, kbps=128.0) > 5.0
 
 
+def test_kernel_gate_bs8192():
+    """The v3 kernel path (batch % 128) holds P=8192 incl. mono bs8192:
+    segdelta is a 14-bit segment length (a full-block segment is exactly
+    8192), rank 13 bits (max P-1 = 8191). Gate + field-packing bounds;
+    byte-equality at this shape runs on hardware (devtools/p8192_check.py
+    mono8192 — interpret mode at P=8192 x B=128 is too slow for CI)."""
+    from ulcx.codec.encoder import _use_kernel
+    from ulcx.bitstream.fast_encode import _prep_tables
+
+    cfg = CodecConfig(
+        rate_hz=44100, n_chan=1, block_size=8192, use_pallas="on"
+    )
+    assert _use_kernel(cfg, 128)      # v3 path
+    assert not _use_kernel(cfg, 8)    # v1/v2 stop at P=4096
+    cfg2 = CodecConfig(
+        rate_hz=44100, n_chan=2, block_size=8192, use_pallas="on"
+    )
+    assert not _use_kernel(cfg2, 128)  # P=16384 over the cap
+
+    segdelta, _, _, _ = _prep_tables(8192, 1)
+    assert segdelta.max() == 8192.0    # needs the 14th bit, unclipped
+    aux = np.int32(8191) | (np.int32(8192) << 13) | (np.int32(1) << 30)
+    assert aux & 0x1FFF == 8191
+    assert (aux >> 13) & 0x3FFF == 8192
+    assert (aux >> 30) & 1 == 1
+
+
 def test_fft_backend_end_to_end_bs8192(rng):
     """Full pipeline through the FFT transform backend (block sizes
     above matmul_max_n=4096 route to ulcx.ops.dct.dct4_fft). VBR keeps

@@ -98,7 +98,9 @@ def _prep_tables(block_size: int, n_chan: int):
     grid_step = (n // 8) // 2
     starts, ends, _ = segment_tables(n, c)
     idxp = np.arange(p_tot)
-    segdelta = np.clip(ends - idxp, 0, 0x1FFF).astype(np.float32)
+    # segdelta is a segment LENGTH (bound by block_size): 14 bits holds
+    # bs8192; rank stays 13 bits (rank <= P-1 = 8191 at the P=8192 cap)
+    segdelta = np.clip(ends - idxp, 0, 0x3FFF).astype(np.float32)
     is_start = (idxp == starts).astype(np.float32)
     end_line = (ends[:, 0::2] // 2).astype(np.int32)  # [16, L]
     end_slot = end_line // grid_step - 1  # [16, L] in [0, G)

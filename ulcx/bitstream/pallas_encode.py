@@ -99,7 +99,7 @@ def _kernel(nout_ref, coef_ref, amp_ref, aux_ref, size_ref, slotpq_ref, slotlc_r
         p = p_tot - 1 - k
         aux = aux_ref[p, :]
         rank = aux & 0x1FFF
-        segdelta = (aux >> 13) & 0x1FFF
+        segdelta = (aux >> 13) & 0x3FFF
         kept = rank < nout
         runq = s1[p, :]
         split_p = s2[p, :]
@@ -138,7 +138,7 @@ def _kernel(nout_ref, coef_ref, amp_ref, aux_ref, size_ref, slotpq_ref, slotlc_r
     def p3_step(p, carry):
         covered, prev_q, bits, last_coded = carry
         aux = aux_ref[p, :]
-        segdelta = (aux >> 13) & 0x1FFF
+        segdelta = (aux >> 13) & 0x3FFF
         segstart = (aux >> 30) & 1
         s2row = s2[p, :]
         q_ev = s2row & 0xFF

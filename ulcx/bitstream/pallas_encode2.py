@@ -100,7 +100,7 @@ def _p2(nout_ref, coef_ref, aux_ref, s1_ref, s2in_ref, state_ref, st_sc):
         p = base + lp
         aux = aux_ref[lp]
         rank = aux & 0x1FFF
-        segdelta = (aux >> 13) & 0x1FFF
+        segdelta = (aux >> 13) & 0x3FFF
         kept = rank < nout
         runq = s1_ref[lp]
         split_p = s2in_ref[lp]
@@ -159,7 +159,7 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, state_ref,
         covered, prev_q, bits, last_coded = carry
         p = base + lp
         aux = aux_ref[lp]
-        segdelta = (aux >> 13) & 0x1FFF
+        segdelta = (aux >> 13) & 0x3FFF
         segstart = (aux >> 30) & 1
         srow = state_ref[lp]
         ncp = srow & 0x3FFF

@@ -115,7 +115,7 @@ def _p2(nout_ref, coef_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
         p = base + lp
         aux = aux_ref[lp]
         rank = aux & 0x1FFF
-        segdelta = (aux >> 13) & 0x1FFF
+        segdelta = (aux >> 13) & 0x3FFF
         kept = rank < nout
         s12 = s12_ref[lp]
         split_p = (s12 >> 5) & 1
@@ -192,7 +192,7 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
             covered, prev_q, bits, tail_done = carry
         p = base + lp
         aux = aux_ref[lp]
-        segdelta = (aux >> 13) & 0x1FFF
+        segdelta = (aux >> 13) & 0x3FFF
         segstart = (aux >> 30) & 1
         srow = state_ref[lp]
         ncp = srow & 0x3FFF

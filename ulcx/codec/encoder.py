@@ -189,16 +189,15 @@ def _use_kernel(cfg: CodecConfig, batch: int) -> bool:
         return False
     p_tot = cfg.n_chan * cfg.block_size
     # v1/v2 lane layouts stop at P=4096; the v3 path (batch % 128) holds
-    # P=8192: rank is a 13-bit field (0..8191 — exactly P-1), ncp is 14
-    # bits, and VMEM use is CHUNK-blocked. Covers stereo bs4096, one of
-    # the BASELINE.md benchmark configs. segdelta (also 13 bits) is a
-    # *segment length* bound by block_size, so block_size itself must
-    # stay <= 4096: mono bs8192 would clip a full-block segment's 8192
-    # to 8191 and flip zone-end/tail decisions at its first position.
+    # P=8192: rank is a 13-bit field (0..8191 — exactly P-1), segdelta
+    # (a segment LENGTH, bound by block_size) is 14 bits (holds a
+    # full-block bs8192 segment), ncp is 14 bits, and VMEM use is
+    # CHUNK-blocked. Covers stereo bs4096 (a BASELINE.md benchmark
+    # config) and mono bs8192.
     p_max = 8192 if (batch % 128 == 0 and p_tot % 128 == 0) else 4096
     shape_ok = (
         p_tot <= p_max
-        and cfg.block_size <= 4096
+        and cfg.block_size <= 8192
         and batch % 8 == 0
         and cfg.noise_run_window == "segment"
     )
