@@ -37,7 +37,33 @@ N_STREAMS = 128
 N_CAND = 8
 CHUNK = int(os.environ.get("ULCX_KERNEL_CHUNK", "128"))
 _u = os.environ.get("ULCX_KERNEL_UNROLL", "full")
-UNROLL = CHUNK if _u == "full" else int(_u)  # Mosaic: only 1 or full
+UNROLL = CHUNK if _u == "full" else int(_u)
+
+
+def _chunk_loop(body, carry, unroll: int):
+    """CHUNK-step serial walk with configurable unrolling.
+
+    fori_loop's own ``unroll=`` only works at 1 or CHUNK under Mosaic
+    (partial values miscompile/SLOW — round-3 A/B), so partial unroll
+    is built structurally: an outer fori over CHUNK//u with u
+    statically-traced steps inside. full (default) = straight-line
+    trace; compile time scales with the traced step count, which is
+    what the ~minutes-long bench compiles pay — partial unroll trades
+    a little runtime for much faster Mosaic compiles."""
+    if unroll >= CHUNK:
+        for i in range(CHUNK):
+            carry = body(i, carry)
+        return carry
+    if unroll <= 1:
+        return lax.fori_loop(0, CHUNK, body, carry, unroll=1)
+    assert CHUNK % unroll == 0
+
+    def outer(j, c):
+        for k in range(unroll):
+            c = body(j * unroll + k, c)
+        return c
+
+    return lax.fori_loop(0, CHUNK // unroll, outer, carry)
 
 
 # ---------------------------------------------------------------------------
@@ -84,9 +110,7 @@ def _p1(nout_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc, *, unroll: int):
         s12_ref[p] = qi | (split.astype(jnp.int32) << 5)
         return qmin, qmax
 
-    qmin, qmax = lax.fori_loop(
-        0, CHUNK, body, (qmin_sc[...], qmax_sc[...]), unroll=unroll
-    )
+    qmin, qmax = _chunk_loop(body, (qmin_sc[...], qmax_sc[...]), unroll)
     qmin_sc[...] = qmin
     qmax_sc[...] = qmax
 
@@ -136,9 +160,8 @@ def _p2(nout_ref, coef_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
         nk_split = jnp.where(kept, split_p, nk_split)
         return nk, nk_split, cur_qi, q_next, ncp_new
 
-    out = lax.fori_loop(
-        0, CHUNK, body, (st_sc[0], st_sc[1], st_sc[2], st_sc[3], st_sc[4]),
-        unroll=unroll,
+    out = _chunk_loop(
+        body, (st_sc[0], st_sc[1], st_sc[2], st_sc[3], st_sc[4]), unroll
     )
     for i in range(5):
         st_sc[i] = out[i]
@@ -361,10 +384,7 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
         return new_covered, new_prev_q, bits, tail_done
 
     n_carry = 7 if materialize else 4
-    out = lax.fori_loop(
-        0, CHUNK, body, tuple(st_sc[i] for i in range(n_carry)),
-        unroll=unroll,
-    )
+    out = _chunk_loop(body, tuple(st_sc[i] for i in range(n_carry)), unroll)
     for i in range(n_carry):
         st_sc[i] = out[i]
     bits_ref[...] = out[2]
