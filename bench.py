@@ -124,6 +124,43 @@ def main():
         best = min(best, time.perf_counter() - t0)
     enc_rtf = audio_seconds / best
 
+    # The encode headline is measured NOW; the decode phase below pays
+    # its own multi-minute non-cacheable compile. If the harness kills
+    # this process mid-decode, the headline must not be lost with it:
+    # emit it from the signal/exit path too (idempotent — prints once).
+    _emitted = []
+
+    def emit_encode():
+        if _emitted:
+            return
+        _emitted.append(1)
+        print(
+            json.dumps(
+                {
+                    "metric": "encode_realtime_factor_per_chip_stereo44k_cbr128",
+                    "value": round(enc_rtf, 2),
+                    "unit": "x_realtime",
+                    "vs_baseline": round(enc_rtf / 2000.0, 4),
+                }
+            ),
+            flush=True,
+        )
+
+    import atexit
+    import signal
+
+    atexit.register(emit_encode)
+
+    def _on_term(signum, frame):  # pragma: no cover
+        emit_encode()
+        raise SystemExit(0)
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(_sig, _on_term)
+        except Exception:
+            pass
+
     def decode_metric():
         # assemble contiguous byte streams on the host (container framing
         # is host-side file I/O in the tools too), then time batch decode
@@ -175,7 +212,11 @@ def main():
         # budget (compiles through the remote helper take minutes and
         # are not cacheable), and shield the encode line from any
         # decode-side failure
-        deadline = float(os.environ.get("ULCX_BENCH_DECODE_DEADLINE", "480"))
+        # encode's non-cacheable Mosaic compile alone is ~520 s; 480
+        # silently dropped the decode metric from round-3 runs. The
+        # encode headline is kill-safe now (emit_encode above), so the
+        # deadline only bounds politeness toward the harness timeout.
+        deadline = float(os.environ.get("ULCX_BENCH_DECODE_DEADLINE", "700"))
         elapsed = time.perf_counter() - T0
         if elapsed > deadline:
             print(f"decode metric skipped: {elapsed:.0f}s elapsed > {deadline:.0f}s deadline", flush=True)
@@ -185,16 +226,7 @@ def main():
             except Exception as e:  # pragma: no cover
                 print(f"decode metric skipped: {e}", flush=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "encode_realtime_factor_per_chip_stereo44k_cbr128",
-                "value": round(enc_rtf, 2),
-                "unit": "x_realtime",
-                "vs_baseline": round(enc_rtf / 2000.0, 4),
-            }
-        )
-    )
+    emit_encode()
 
 
 if __name__ == "__main__":
