@@ -190,3 +190,24 @@ def test_kernel_v3_matches_scan(rng):
     np.testing.assert_array_equal(np.asarray(n_f), np.asarray(n_sel))
     np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_sel))
     np.testing.assert_array_equal(np.asarray(b_f), np.asarray(b_sel))
+
+
+def test_chunk_loop_unroll_equivalence():
+    """_chunk_loop must visit indices 0..CHUNK-1 in order for every
+    unroll setting (1 = fori, partial = nested, full = straight-line);
+    the partial path is what ULCX_KERNEL_UNROLL=N selects on hardware."""
+    import jax.numpy as jnp
+    from ulcx.bitstream import pallas_encode3 as pe3
+
+    def body(i, carry):
+        acc, order = carry
+        return acc + i, order * 1000003 % 2147483647 + i
+
+    init = (jnp.int32(0), jnp.int32(7))
+    want = None
+    for u in (1, 8, 16, pe3.CHUNK):
+        acc, order = jax.jit(lambda c: pe3._chunk_loop(body, c, u))(init)
+        got = (int(acc), int(order))
+        if want is None:
+            want = got
+        assert got == want, (u, got, want)
