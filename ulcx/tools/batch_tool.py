@@ -101,36 +101,78 @@ def main(argv=None) -> int:
         f.write(hdr.pack())
         outs.append([f, hdr, 0, 0])  # file, header, total_bytes, max_bytes
 
+    # Pipelined corpus loop (same shape as encode_tool's): a reader
+    # thread prefetches + converts the next WAV chunk while the device
+    # encodes the current one, and each chunk's outputs are flushed
+    # only after the next chunk has been dispatched. The flush itself
+    # is B x chunk small host writes (~10 us each) — synchronous it
+    # costs a sizeable fraction of the device time at production B.
+    import queue as _queue
+    import threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=2)
+
+    def _reader():
+        # exceptions are forwarded through the queue: if the reader died
+        # silently the main loop would block forever on q.get()
+        try:
+            done_r = 0
+            while done_r < t_total:
+                take = min(chunk, t_total - done_r)
+                batch = np.zeros((b, chunk, n_chan, block_size), np.float32)
+                for i, r in enumerate(readers):
+                    frames = r.read_frames(take * block_size)
+                    batch[i, :take] = (
+                        frames.reshape(take, block_size, n_chan).transpose(0, 2, 1)
+                    )
+                q.put((batch, take, done_r))
+                done_r += take
+            q.put(None)
+        except BaseException as e:  # noqa: BLE001
+            q.put(e)
+
+    rd = threading.Thread(target=_reader, daemon=True)
+    rd.start()
+
     carry = init_carry_batched(cfg, b)
     t0 = time.time()
     done = 0
-    while done < t_total:
-        take = min(chunk, t_total - done)
-        batch = np.zeros((b, chunk, n_chan, block_size), np.float32)
-        for i, r in enumerate(readers):
-            frames = r.read_frames(take * block_size)
-            batch[i, :take] = (
-                frames.reshape(take, block_size, n_chan).transpose(0, 2, 1)
-            )
-        enc, carry = enc_fn(jnp.asarray(batch), carry)
+
+    def _flush(enc, take, base):
+        nonlocal done
         sizes = np.asarray(enc.size_bits)
         datas = np.asarray(enc.data)
         for i, (f, hdr, _, _) in enumerate(outs):
             for j in range(take):
-                blk_idx = done + j
-                if blk_idx >= n_blocks[i]:
+                if base + j >= n_blocks[i]:
                     continue
                 nb_ = int(sizes[i, j]) // 8
                 f.write(datas[i, j, :nb_].tobytes())
                 outs[i][2] += nb_
                 outs[i][3] = max(outs[i][3], nb_)
-        done += take
+        done = base + take
         rt = done * block_size * b_real / rate_hz / max(time.time() - t0, 1e-9)
         print(
             f"\r{done}/{t_total} block rows ({rt:.0f}x realtime aggregate)",
             end="",
             flush=True,
         )
+
+    pending = None
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        batch, take, base = item
+        enc, carry = enc_fn(jnp.asarray(batch), carry)
+        if pending is not None:
+            _flush(*pending)
+        pending = (enc, take, base)
+    if pending is not None:
+        _flush(*pending)
+    rd.join()
 
     for i, (f, hdr, total, mx) in enumerate(outs):
         hdr.max_block_size = mx
