@@ -138,18 +138,26 @@ def main(argv=None) -> int:
     t0 = time.time()
     done = 0
 
+    from ulcx.io import native as _native
+
     def _flush(enc, take, base):
         nonlocal done
         sizes = np.asarray(enc.size_bits)
         datas = np.asarray(enc.data)
         for i, (f, hdr, _, _) in enumerate(outs):
-            for j in range(take):
-                if base + j >= n_blocks[i]:
-                    continue
-                nb_ = int(sizes[i, j]) // 8
-                f.write(datas[i, j, :nb_].tobytes())
-                outs[i][2] += nb_
-                outs[i][3] = max(outs[i][3], nb_)
+            vc = max(0, min(take, n_blocks[i] - base))
+            if vc == 0:
+                continue
+            packed = _native.pack_blocks(datas[i, :vc], sizes[i, :vc])
+            if packed is not None:  # C++ fast path: one write per file
+                f.write(packed)
+                outs[i][2] += len(packed)
+            else:
+                for j in range(vc):
+                    nb_ = int(sizes[i, j]) // 8
+                    f.write(datas[i, j, :nb_].tobytes())
+                    outs[i][2] += nb_
+            outs[i][3] = max(outs[i][3], int(sizes[i, :vc].max()) // 8)
         done = base + take
         rt = done * block_size * b_real / rate_hz / max(time.time() - t0, 1e-9)
         print(

@@ -161,16 +161,23 @@ def main(argv=None) -> int:
     rd = threading.Thread(target=_reader, daemon=True)
     rd.start()
 
+    from ulcx.io import native as _native
+
     def _flush(encoded, take):
         nonlocal total_bytes, max_bytes, cx_sum, done_blocks, last_print
         sizes = np.asarray(encoded.size_bits)[:take]
         datas = np.asarray(encoded.data)[:take]
         cxs = np.asarray(encoded.complexity)[:take]
-        for i in range(take):
-            nb = int(sizes[i]) // 8
-            out.write(datas[i, :nb].tobytes())
-            total_bytes += nb
-            max_bytes = max(max_bytes, nb)
+        packed = _native.pack_blocks(datas, sizes)  # C++ fast path
+        if packed is not None:
+            out.write(packed)
+            total_bytes += len(packed)
+        else:
+            for i in range(take):
+                nb = int(sizes[i]) // 8
+                out.write(datas[i, :nb].tobytes())
+                total_bytes += nb
+        max_bytes = max(max_bytes, int(sizes.max()) // 8 if take else 0)
         cx_sum += float(cxs.sum())
         done_blocks += take
         now = time.time()
