@@ -377,26 +377,20 @@ def _v3_call_l(pl3: _V3Planes, nout_l, materialize=False, interpret=False):
 
 
 def _v3_call(pl3: _V3Planes, nout, materialize=False, interpret=False):
-    """v3 kernel round: tail tokens priced (and, in materialize mode,
-    the stream packed) inside the kernel. nout [B, 8] i32.
-
-    Returns bits [B, 8] (tails included, header excluded), plus in
-    materialize mode (word [B,8,P], widx [B,8,P], freg [B,8], fwc
-    [B,8]) — see pallas_encode3.encode_kernel_call3."""
+    """v3 size round through the [B, 8] batch interface (total_sizes /
+    the bisect replica); the production paths (materialize_fast,
+    search_materialize_fast) call _v3_call_l directly and keep
+    everything in kernel lane layout. Returns (bits [B, 8],) — tails
+    included, header excluded."""
     from ulcx.bitstream import pallas_encode3 as pe3
 
-    b, p_tot = pl3.b, pl3.p_tot
+    assert not materialize, "materialize rides the lane-layout path"
+    b = pl3.b
     # nout [B, 8] -> [G3, SUBC, LAN]: candidate in sublane, stream in lane
     nout_l = nout.reshape(b // pe3.LAN, pe3.LAN, pe3.N_CAND).transpose(0, 2, 1)
     out = _v3_call_l(pl3, nout_l, materialize, interpret)
     bits = _from_lanes3(out[0][:, None], b)[:, :, 0]
-    if not materialize:
-        return (bits,)
-    word = _from_lanes3(out[1], b)
-    widx = _from_lanes3(out[2], b)
-    freg = _from_lanes3(out[3][:, None], b)[:, :, 0]
-    fwc = _from_lanes3(out[4][:, None], b)[:, :, 0]
-    return bits, word, widx, freg, fwc
+    return (bits,)
 
 
 def kernel_sizes(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
