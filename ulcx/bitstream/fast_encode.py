@@ -303,6 +303,22 @@ def _use_v3(b: int, p_tot: int) -> bool:
     return b % pe3.N_STREAMS == 0 and p_tot % 128 == 0
 
 
+def _use_thin() -> bool:
+    """Thin (winner-selected, dense-plane) materialize: 8x less word
+    HBM write traffic + no 8-way select stage, at the price of one
+    extra p3-size pass in the search (state is reused). Off by default
+    until A/B-validated on hardware (ULCX_V3_THIN=1); requires full
+    kernel unroll under Mosaic."""
+    import os as _os
+
+    from ulcx.bitstream import pallas_encode3 as pe3
+
+    return (
+        _os.environ.get("ULCX_V3_THIN", "0") == "1"
+        and pe3.UNROLL >= pe3.CHUNK
+    )
+
+
 def cand_count(b: int, p_tot: int) -> int:
     """Rate-search candidates per round for this batch's kernel path
     (v3: candidates ride the 8 sublanes; v1/v2: the 16 lane groups)."""
@@ -661,6 +677,26 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
             n_out.astype(jnp.int32).reshape(g, 1, pe3.LAN),
             (g, pe3.SUBC, pe3.LAN),
         )
+        if _use_thin():
+            pl3 = _v3_planes(fb)
+            state = pe3.p12_call(
+                nout_l, pl3.coef_l, pl3.aux_l, p_tot, interpret
+            )
+            bz = jnp.zeros((g, 1, pe3.LAN), jnp.int32)
+            bits_l, word_t, widx_t, freg_l, fwc_l = pe3.p3_call(
+                nout_l, pl3.coef_l, pl3.ampn_l, pl3.aux_l, pl3.hfa_l,
+                pl3.hfm_l, state, pl3.hdr_l, p_tot, True, interpret,
+                thin=True, bestj=bz,
+            )
+            size_bits = (
+                4 * (bits_l[:, 0, :].reshape(b) + fb.n_header) + 7
+            ) & ~7
+            by = _assemble_v3_lanes(
+                word_t.reshape(g, p_tot, pe3.LAN),
+                widx_t.reshape(g, p_tot, pe3.LAN),
+                freg_l[:, 0, :], fwc_l[:, 0, :], max_bytes,
+            )
+            return size_bits, by
         bits_l, word_l, widx_l, freg_l, fwc_l = _v3_call_l(
             _v3_planes(fb), nout_l, True, interpret
         )
@@ -722,9 +758,26 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
         cands = lo[:, None, :] + jnp.arange(k, dtype=jnp.int32)[None, :, None]
         hi_c = jnp.maximum(hi, lo)
         cands_c = jnp.minimum(cands, jnp.maximum(hi_c, 0)[:, None, :])
-        bits_l, word_l, widx_l, freg_l, fwc_l = _v3_call_l(
-            pl3, cands_c, True, interpret
-        )
+        if _use_thin():
+            # thin final round: a size-only p3 finds the winner, then a
+            # second p3 (REUSING the phase-1/2 state for these same
+            # candidates) materializes ONE winner-selected dense plane
+            # — 8x less word/widx HBM write traffic and no [G,P,8,LAN]
+            # select stage, for the price of the extra p3-size walk.
+            from ulcx.bitstream import pallas_encode3 as pe3
+
+            state = pe3.p12_call(
+                cands_c, pl3.coef_l, pl3.aux_l, p_tot, interpret
+            )
+            (bits_l,) = pe3.p3_call(
+                cands_c, pl3.coef_l, pl3.ampn_l, pl3.aux_l, pl3.hfa_l,
+                pl3.hfm_l, state, pl3.hdr_l, p_tot, False, interpret,
+            )
+            word_l = widx_l = freg_l = fwc_l = None
+        else:
+            bits_l, word_l, widx_l, freg_l, fwc_l = _v3_call_l(
+                pl3, cands_c, True, interpret
+            )
         sizes = (4 * (bits_l + nh_l) + 7) & ~7
         feas = (sizes <= bud) & (cands <= hi_c[:, None, :])
         feas = feas.at[:, 0, :].set(True)  # lane 0 = lo, always a fallback
@@ -746,6 +799,18 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
 
         n_out = sel_l(cands_c).reshape(b)
         size_bits = sel_l(sizes).reshape(b)
+        if _use_thin():
+            _, word_t, widx_t, freg_t, fwc_t = pe3.p3_call(
+                cands_c, pl3.coef_l, pl3.ampn_l, pl3.aux_l, pl3.hfa_l,
+                pl3.hfm_l, state, pl3.hdr_l, p_tot, True, interpret,
+                thin=True, bestj=best_j[:, None, :].astype(jnp.int32),
+            )
+            by = _assemble_v3_lanes(
+                word_t.reshape(g, p_tot, pe3.LAN),
+                widx_t.reshape(g, p_tot, pe3.LAN),
+                sel_l(freg_t), sel_l(fwc_t), max_bytes,
+            )
+            return n_out, size_bits, by
         by = _assemble_v3_lanes(
             sel_l(word_l), sel_l(widx_l), sel_l(freg_l), sel_l(fwc_l),
             max_bytes,

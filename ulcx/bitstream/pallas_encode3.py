@@ -186,8 +186,12 @@ def _p2(nout_ref, coef_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
 
 
 def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
-        hfmeta_ref, state_ref, *rest, materialize: bool, unroll: int):
-    if materialize:
+        hfmeta_ref, state_ref, *rest, materialize: bool, unroll: int,
+        thin: bool = False):
+    if materialize and thin:
+        (hdr_ref, bestj_ref, bits_ref, word_ref, widx_ref, freg_ref,
+         fwc_ref, st_sc) = rest
+    elif materialize:
         (hdr_ref, bits_ref, word_ref, widx_ref, freg_ref, fwc_ref, st_sc) = rest
     else:
         (bits_ref, st_sc) = rest
@@ -374,8 +378,35 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
             full = reg | lo_add
             newfill = fill + pos_cnt
             crossed = newfill >= 8
-            word_ref[lp] = full
-            widx_ref[lp] = jnp.where(crossed, wcount, jnp.int32(2**30))
+            wv = jnp.where(crossed, wcount, jnp.int32(2**30))
+            if thin:
+                # winner-selected dense output: ONE [P, 128]-shaped
+                # plane (viewed [P/8, 8, LAN] so positions fill the
+                # sublanes of dense tiles) instead of 8 candidate
+                # planes — 8x less HBM write traffic and no 8-way
+                # select stage outside. The in-register select over
+                # static sublane slices costs ~14 ops/position.
+                bj = bestj_ref[...]  # [1, LAN]
+                w_sel = full[0:1]
+                x_sel = wv[0:1]
+                for jj in range(1, SUBC):
+                    m = bj == jj
+                    w_sel = jnp.where(m, full[jj:jj + 1], w_sel)
+                    x_sel = jnp.where(m, wv[jj:jj + 1], x_sel)
+                if isinstance(lp, int):
+                    # full unroll (the Mosaic production config): the
+                    # sublane index lp%8 is static
+                    word_ref[lp // 8, (lp % 8):(lp % 8) + 1] = w_sel
+                    widx_ref[lp // 8, (lp % 8):(lp % 8) + 1] = x_sel
+                else:
+                    # dynamic index path: interpret mode only (Mosaic
+                    # cannot index sublanes dynamically — the caller
+                    # asserts full unroll when compiling)
+                    word_ref[lp >> 3, pl.dslice(lp & 7, 1)] = w_sel
+                    widx_ref[lp >> 3, pl.dslice(lp & 7, 1)] = x_sel
+            else:
+                word_ref[lp] = full
+                widx_ref[lp] = wv
             reg = jnp.where(crossed, residue, full)
             fill = newfill & 7
             wcount = wcount + crossed.astype(jnp.int32)
@@ -397,33 +428,8 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
 # Caller.
 
 
-def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
-                        p_tot: int, materialize: bool,
-                        interpret: bool = False):
-    """v3 invocation: G groups x (128 streams x 8 candidates).
-
-    The group axis rides the PALLAS GRID (grid = (G, n_chunks)), not a
-    vmap: one kernel launch per phase regardless of batch size, and
-    Mosaic pipelines chunk DMA across group boundaries (the per-launch
-    fixed cost and the serial-loop drain bubbles were the measured
-    round cost at B=512, not HBM traffic).
-
-    nout/hdr [G, SUBC, LAN] i32; coef [G, P, 1, LAN] f32; aux alike i32;
-    ampn/hfamp [G, P/2, 1, LAN] f32 and hfmeta i32 in the pseudo-DFT
-    line domain (pairwise-constant, read at lp >> 1).
-    Returns bits [G, SUBC, LAN] (tail tokens included; header excluded),
-    plus in materialize mode (word [G, P, SUBC, LAN], widx alike,
-    freg [G, SUBC, LAN], fwc [G, SUBC, LAN]): emitted u32 stream words
-    with their word indices (2**30 where no word completed), the final
-    partial word, and the completed-word count.
-    """
+def _specs(p_tot: int):
     n_chunks = p_tot // CHUNK
-    g = nout.shape[0]
-    grid = (g, n_chunks)
-    # full unroll is a Mosaic scheduling win; under interpret (CPU
-    # tests) it only multiplies trace/compile time by ~100x
-    unroll = 1 if interpret else UNROLL
-
     in_spec = pl.BlockSpec(
         (None, CHUNK, 1, LAN), lambda gg, j: (gg, j, 0, 0),
         memory_space=pltpu.VMEM,
@@ -449,6 +455,19 @@ def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
     whole = pl.BlockSpec(
         (None, SUBC, LAN), lambda gg, j: (gg, 0, 0), memory_space=pltpu.VMEM
     )
+    return in_spec, lin_spec, rin_spec, chunk_spec, rchunk_spec, whole
+
+
+def p12_call(nout, coef, aux, p_tot: int, interpret: bool = False):
+    """Phases 1+2 (forward zone scan, reverse backfill): the packed
+    per-position state plane [G, P, SUBC, LAN] consumed by phase 3.
+    Exposed separately so a size pass and a materialize pass over the
+    SAME candidates (the thin final round) reuse one state build."""
+    n_chunks = p_tot // CHUNK
+    g = nout.shape[0]
+    grid = (g, n_chunks)
+    unroll = 1 if interpret else UNROLL
+    in_spec, _, rin_spec, chunk_spec, rchunk_spec, whole = _specs(p_tot)
 
     s12 = pl.pallas_call(
         functools.partial(_p1, unroll=unroll),
@@ -463,7 +482,7 @@ def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
         interpret=interpret,
     )(nout, coef, aux)
 
-    state = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_p2, unroll=unroll),
         grid=grid,
         in_specs=[whole, rin_spec, rin_spec, rchunk_spec],
@@ -473,12 +492,60 @@ def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
         interpret=interpret,
     )(nout, coef, aux, s12)
 
+
+def p3_call(nout, coef, ampn, aux, hfamp, hfmeta, state, hdr,
+            p_tot: int, materialize: bool, interpret: bool = False,
+            thin: bool = False, bestj=None):
+    """Phase 3 (forward emission walk) over a prebuilt state plane.
+
+    thin (materialize only): word/widx come back [G, P/8, 8, LAN] —
+    ONE winner-selected plane (row-major == [G, P, LAN]) instead of 8
+    candidate planes; `bestj` [G, 1, LAN] picks the winning sublane at
+    each position (pass zeros when nout is candidate-uniform). Requires
+    full unroll under Mosaic (the per-position sublane index must be
+    static); interpret mode takes the dynamic-index path."""
+    n_chunks = p_tot // CHUNK
+    g = nout.shape[0]
+    grid = (g, n_chunks)
+    unroll = 1 if interpret else UNROLL
+    if thin and not interpret:
+        assert unroll >= CHUNK, (
+            "thin materialize needs static sublane indices: full unroll only"
+        )
+    in_spec, lin_spec, _, chunk_spec, _, whole = _specs(p_tot)
+
     coefn = jnp.concatenate([coef[:, 1:], coef[:, -1:]], axis=1)
-    kern3 = functools.partial(_p3, materialize=materialize, unroll=unroll)
+    kern3 = functools.partial(
+        _p3, materialize=materialize, unroll=unroll, thin=thin
+    )
     in_specs = [whole, in_spec, in_spec, lin_spec, in_spec, lin_spec,
                 lin_spec, chunk_spec]
+    if materialize and thin:
+        bj_spec = pl.BlockSpec(
+            (None, 1, LAN), lambda gg, j: (gg, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        thin_spec = pl.BlockSpec(
+            (None, CHUNK // 8, 8, LAN), lambda gg, j: (gg, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kern3,
+            grid=grid,
+            in_specs=in_specs + [whole, bj_spec],
+            out_specs=(whole, thin_spec, thin_spec, whole, whole),
+            out_shape=(
+                jax.ShapeDtypeStruct((g, SUBC, LAN), jnp.int32),
+                jax.ShapeDtypeStruct((g, p_tot // 8, 8, LAN), jnp.int32),
+                jax.ShapeDtypeStruct((g, p_tot // 8, 8, LAN), jnp.int32),
+                jax.ShapeDtypeStruct((g, SUBC, LAN), jnp.int32),
+                jax.ShapeDtypeStruct((g, SUBC, LAN), jnp.int32),
+            ),
+            scratch_shapes=[pltpu.VMEM((7, SUBC, LAN), jnp.int32)],
+            interpret=interpret,
+        )(nout, coef, coefn, ampn, aux, hfamp, hfmeta, state, hdr, bestj)
     if materialize:
-        out = pl.pallas_call(
+        return pl.pallas_call(
             kern3,
             grid=grid,
             in_specs=in_specs + [whole],
@@ -493,7 +560,6 @@ def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
             scratch_shapes=[pltpu.VMEM((7, SUBC, LAN), jnp.int32)],
             interpret=interpret,
         )(nout, coef, coefn, ampn, aux, hfamp, hfmeta, state, hdr)
-        return out
 
     bits = pl.pallas_call(
         kern3,
@@ -505,3 +571,30 @@ def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
         interpret=interpret,
     )(nout, coef, coefn, ampn, aux, hfamp, hfmeta, state)
     return (bits,)
+
+
+def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
+                        p_tot: int, materialize: bool,
+                        interpret: bool = False,
+                        thin: bool = False, bestj=None):
+    """v3 invocation: G groups x (128 streams x 8 candidates).
+
+    The group axis rides the PALLAS GRID (grid = (G, n_chunks)), not a
+    vmap: one kernel launch per phase regardless of batch size, and
+    Mosaic pipelines chunk DMA across group boundaries (the per-launch
+    fixed cost and the serial-loop drain bubbles were the measured
+    round cost at B=512, not HBM traffic).
+
+    nout/hdr [G, SUBC, LAN] i32; coef [G, P, 1, LAN] f32; aux alike i32;
+    ampn/hfamp [G, P/2, 1, LAN] f32 and hfmeta i32 in the pseudo-DFT
+    line domain (pairwise-constant, read at lp >> 1).
+    Returns bits [G, SUBC, LAN] (tail tokens included; header excluded),
+    plus in materialize mode (word [G, P, SUBC, LAN], widx alike,
+    freg [G, SUBC, LAN], fwc [G, SUBC, LAN]): emitted u32 stream words
+    with their word indices (2**30 where no word completed), the final
+    partial word, and the completed-word count. With thin=True the
+    word/widx planes are winner-selected (see p3_call).
+    """
+    state = p12_call(nout, coef, aux, p_tot, interpret)
+    return p3_call(nout, coef, ampn, aux, hfamp, hfmeta, state, hdr,
+                   p_tot, materialize, interpret, thin, bestj)
