@@ -61,9 +61,47 @@ def make_corpus(b: int, t: int, n: int, rate_hz: float = 44100.0) -> np.ndarray:
     return np.ascontiguousarray(x.reshape(b, 2, t, n).transpose(0, 2, 1, 3))
 
 
+def _probe_backend(timeout_s: float = 240.0) -> bool:
+    """Bounded device-backend probe in a subprocess.
+
+    A wedged TPU tunnel blocks ~25 min inside client creation (native
+    code, uninterruptible by signals in-process) before failing; a
+    killable child process turns that into a fast, explicit skip so the
+    harness never sees a silent multi-minute hang with no output."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import os, jax\n"
+                "p = os.environ.get('ULCX_PLATFORM')\n"
+                "p and jax.config.update('jax_platforms', p)\n"
+                "jax.devices()",
+            ],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     T0 = time.perf_counter()
+    if not _probe_backend():
+        print(
+            "bench skipped: device backend unreachable (TPU tunnel down?)",
+            flush=True,
+        )
+        raise SystemExit(3)
     import jax
+
+    plat = os.environ.get("ULCX_PLATFORM")
+    if plat:  # same escape hatch as the CLI tools (CPU smoke runs)
+        jax.config.update("jax_platforms", plat)
 
     # persistent jit cache: the encode+decode compiles take minutes
     # through the remote compile helper; cached reruns skip them
