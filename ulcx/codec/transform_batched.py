@@ -261,7 +261,13 @@ def block_imdct_batched(coefs, window_ctrl, lap, prev_last_ss, cfg):
     # but prev_last_ss takes only the 4 subblock size classes, so it
     # becomes a 4-way select of statically sliced layouts (gathers with
     # [B,C,N] indices are pathological on TPU; see NOTES.md).
-    first_ol = jnp.take_along_axis(o_l, _first_active(act)[:, None], axis=-1)[:, 0]
+    # [B,16]->[B] index selects as where-sums (small, but gather
+    # lowerings carry a fixed cost on this backend; exact for these
+    # small-int overlap values)
+    _i16 = jnp.arange(o_l.shape[1], dtype=jnp.int32)[None, :]
+    first_ol = jnp.sum(
+        jnp.where(_i16 == _first_active(act)[:, None], o_l, 0), axis=-1
+    )
     rlap = lap[..., ::-1]
     zfill = lambda k: jnp.zeros((b, c, k), jnp.float32)
     pc = jnp.zeros((b, c, n), jnp.float32)
@@ -295,7 +301,7 @@ def block_imdct_batched(coefs, window_ctrl, lap, prev_last_ss, cfg):
             is_last = active & (last_k == ki)
             ol = o_l[:, ki]
             nxt = _next_active(act, ki)
-            orr = jnp.take_along_axis(o_l, nxt[:, None], axis=-1)[:, 0]
+            orr = jnp.sum(jnp.where(_i16 == nxt[:, None], o_l, 0), axis=-1)
             orr = jnp.minimum(orr, ss)  # guard inactive-garbage
             wl = _rise_batched(ss, ol)
             wr = _rise_batched(ss, orr)[..., ::-1]
