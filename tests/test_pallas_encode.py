@@ -156,7 +156,7 @@ def test_kernel_v3_matches_scan(rng):
         jax.jit(lambda f, n: total_sizes(f, n, CFG, interpret=True))(fb, nout)
     )
     size_scan = jax.jit(lambda bd, k: encode_pass_size(bd, k, "segment"))
-    for i in range(0, nb, 11):
+    for i in range(0, nb, 16):
         for j in range(0, 8, 3):
             want = int(size_scan(bds[i], nout[i, j]))
             assert got[i, j] == want, (i, j, wcs[i], got[i, j], want)
@@ -165,7 +165,7 @@ def test_kernel_v3_matches_scan(rng):
     sizes, bys = jax.jit(
         lambda f, n: materialize_fast(f, n, CFG, 2 * C * N, interpret=True)
     )(fb, n_out)
-    for i in range(0, nb, 13):
+    for i in range(0, nb, 21):
         want_bits, want_by = jax.jit(
             lambda bd, k: encode_pass_materialize(bd, k, 2 * C * N, "segment")
         )(bds[i], n_out[i])
@@ -181,7 +181,10 @@ def test_kernel_v3_matches_scan(rng):
     assert (np.asarray(s_sel) <= int(N * 128.0 * 1000 / 44100) + 7).all()
 
     # fused final round (search_materialize_fast) == separate search +
-    # materialize, bytes and all
+    # materialize, bytes and all — and the thin (winner-selected dense
+    # plane) materialize produces identical bytes
+    import os
+
     from ulcx.bitstream.fast_encode import search_materialize_fast
 
     n_f, s_f, b_f = search_materialize_fast(
@@ -190,6 +193,17 @@ def test_kernel_v3_matches_scan(rng):
     np.testing.assert_array_equal(np.asarray(n_f), np.asarray(n_sel))
     np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_sel))
     np.testing.assert_array_equal(np.asarray(b_f), np.asarray(b_sel))
+
+    os.environ["ULCX_V3_THIN"] = "1"
+    try:
+        n_t, s_t, b_t = search_materialize_fast(
+            fb, n_nz, budget, CFG, 2 * C * N, True
+        )
+    finally:
+        del os.environ["ULCX_V3_THIN"]
+    np.testing.assert_array_equal(np.asarray(n_t), np.asarray(n_sel))
+    np.testing.assert_array_equal(np.asarray(s_t), np.asarray(s_sel))
+    np.testing.assert_array_equal(np.asarray(b_t), np.asarray(b_sel))
 
 
 def test_chunk_loop_unroll_equivalence():
