@@ -545,9 +545,126 @@ def total_sizes(fb: FastBlockData, nout, cfg: CodecConfig, interpret=False):
     return (total + 7) & ~7
 
 
+# --- interp-seeded ladder schedule -----------------------------------------
+#
+# The classic k-candidate ladder needs ceil(log_k P) size rounds to pin
+# the largest feasible n exactly; each round is a full serial kernel
+# walk (~6.4 ms at B=512/P=4096 — NOTES.md round-3 budget). Measured on
+# the bench corpus (devtools/search_seed_study.py, bs2048 stereo
+# CBR-128): after ONE coarse round, linearly interpolating the bracket
+# edge sizes predicts the budget crossing within |err| p50=7 p90=16
+# p99=36 max=41 coefficients. So the middle rounds collapse to ONE
+# round of candidates spread around the prediction, and the final
+# round stretches its spacing to cover whatever bracket remains:
+# exact whenever the remaining bracket is < k (the common case), at
+# worst ceil(bracket/(k-1))-1 ≈ 2-5 coefficients short of the true
+# maximum in the interp-miss tail — never infeasible. Rate-control
+# contract unchanged: chosen size <= budget always.
+
+_SEED_OFF = {
+    8: np.array([-40, -17, -8, -3, 0, 3, 8, 20], np.int32),
+    16: np.array(
+        [-76, -52, -36, -24, -15, -9, -5, -2, 0, 2, 5, 9, 15, 24, 36, 52],
+        np.int32,
+    ),
+}
+
+
+def _seed_plan(rounds: int):
+    """(classic_size_rounds, use_seeded_round) before the final round."""
+    if rounds - 1 < 2:
+        return rounds - 1, False
+    return max(rounds - 3, 1), True
+
+
+def _bracket_search(size_fn, n_nz, budget, k: int, rounds: int):
+    """Classic + interp-seeded ladder rounds; returns (lo, hi) with the
+    crossing bracketed and lo = best known-feasible count (or 0).
+
+    Layout-generic: n_nz/budget are [B] or [G, LAN]; candidates ride
+    axis 1 (size_fn maps candidate grids to byte-rounded bit sizes of
+    the same shape). All arithmetic is int32 so the flat and
+    lane-layout callers produce bit-identical brackets."""
+    classic, seeded = _seed_plan(rounds)
+    x1 = lambda a: jnp.expand_dims(a, 1)
+    kshape = (1, k) + (1,) * (n_nz.ndim - 1)
+    karr1 = jnp.arange(1, k + 1, dtype=jnp.int32).reshape(kshape)
+    jidx = jnp.arange(k, dtype=jnp.int32).reshape(kshape)
+    bud = x1(budget)
+    lo = jnp.zeros(n_nz.shape, jnp.int32)
+    hi = n_nz.astype(jnp.int32)
+    s_lo = gap = jnp.zeros(n_nz.shape, jnp.int32)
+    den = jnp.ones(n_nz.shape, jnp.int32)
+    seed_ok = jnp.zeros(n_nz.shape, bool)
+
+    def update(cands, cands_c, sizes, lo, hi):
+        feas = (sizes <= bud) & (cands <= x1(hi))
+        any_f = jnp.any(feas, axis=1)
+        best = jnp.max(jnp.where(feas, cands_c, x1(lo)), axis=1)
+        fbad = jnp.min(
+            jnp.where(feas | (cands > x1(hi)), jnp.int32(2**30), cands), axis=1
+        )
+        # bracket-edge sizes for the interpolation (one-hot selects:
+        # candidates ascend, so the max feasible index holds the max
+        # feasible value and the min infeasible index the min)
+        bestj = jnp.max(jnp.where(feas, jidx, -1), axis=1)
+        badj = jnp.min(
+            jnp.where(feas | (cands > x1(hi)), jnp.int32(k), jidx), axis=1
+        )
+        s_lo = jnp.sum(jnp.where(jidx == x1(bestj), sizes, 0), axis=1)
+        s_hi = jnp.sum(jnp.where(jidx == x1(badj), sizes, 0), axis=1)
+        new_lo = jnp.where(any_f, best, lo)
+        new_hi = jnp.minimum(hi, fbad - 1)
+        ok = any_f & (fbad < 2**30) & (fbad > new_lo)
+        return (
+            new_lo,
+            new_hi,
+            s_lo,
+            fbad - new_lo,
+            jnp.maximum(s_hi - s_lo, 1),
+            ok,
+        )
+
+    for _ in range(classic):
+        step = jnp.maximum((hi - lo + k - 1) // k, 1)
+        cands = x1(lo) + x1(step) * karr1
+        cands_c = jnp.minimum(cands, x1(jnp.maximum(hi, 0)))
+        sizes = size_fn(cands_c)
+        lo, hi, s_lo, gap, den, seed_ok = update(cands, cands_c, sizes, lo, hi)
+
+    if seeded:
+        n_star = jnp.clip(
+            lo + (budget - s_lo) * gap // den, lo, jnp.maximum(hi, lo)
+        )
+        off = jnp.asarray(_SEED_OFF[k]).reshape(kshape)
+        sc = jnp.clip(x1(n_star) + off, x1(lo), x1(jnp.maximum(hi, lo)))
+        step = jnp.maximum((hi - lo + k - 1) // k, 1)
+        std = x1(lo) + x1(step) * karr1
+        cands = jnp.where(x1(seed_ok), sc, std)
+        cands_c = jnp.minimum(cands, x1(jnp.maximum(hi, 0)))
+        sizes = size_fn(cands_c)
+        lo, hi, *_ = update(cands, cands_c, sizes, lo, hi)
+    return lo, hi
+
+
+def _final_cands(lo, hi, k: int):
+    """Final-round candidate grid lo + s*(0..k-1): spacing s stretches
+    to cover the remaining bracket (s = 1 -> exact max-feasible)."""
+    x1 = lambda a: jnp.expand_dims(a, 1)
+    hi_c = jnp.maximum(hi, lo)
+    s = jnp.maximum(1, -(-(hi_c - lo) // (k - 1)))
+    kshape = (1, k) + (1,) * (lo.ndim - 1)
+    jidx = jnp.arange(k, dtype=jnp.int32).reshape(kshape)
+    cands = x1(lo) + x1(s) * jidx
+    cands_c = jnp.minimum(cands, x1(hi_c))
+    return cands, cands_c, hi_c
+
+
 def rate_search_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
                      interpret=False):
-    """3-round 16-candidate ladder on the kernel (cf. _cbr_search_ladder)."""
+    """Interp-seeded ladder on the kernel (cf. _cbr_search_ladder);
+    candidate-for-candidate identical to search_materialize_fast so the
+    fused and separate forms return the same n."""
     import math
 
     b = fb.coef.shape[0]
@@ -560,23 +677,13 @@ def rate_search_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
         else (lambda nn: total_sizes(fb, nn, cfg, interpret))
     )
     rounds = max(1, int(math.ceil(math.log(p_tot, k))))
-    lo = jnp.zeros(b, jnp.int32)
-    hi = n_nz.astype(jnp.int32)
-    for _ in range(rounds):
-        step = jnp.maximum((hi - lo + k - 1) // k, 1)
-        cands = lo[:, None] + step[:, None] * jnp.arange(1, k + 1, dtype=jnp.int32)
-        cands_c = jnp.minimum(cands, jnp.maximum(hi, 0)[:, None])
-        sizes = size_fn(cands_c)
-        feas = (sizes <= budget[:, None]) & (cands <= hi[:, None])
-        any_f = jnp.any(feas, axis=-1)
-        best = jnp.max(jnp.where(feas, cands_c, lo[:, None]), axis=-1)
-        first_bad = jnp.min(
-            jnp.where(feas | (cands > hi[:, None]), jnp.int32(2**30), cands),
-            axis=-1,
-        )
-        lo = jnp.where(any_f, best, lo)
-        hi = jnp.minimum(hi, first_bad - 1)
-    return lo
+    budget = budget.astype(jnp.int32)
+    lo, hi = _bracket_search(size_fn, n_nz, budget, k, rounds)
+    cands, cands_c, hi_c = _final_cands(lo, hi, k)
+    sizes = size_fn(cands_c)
+    feas = (sizes <= budget[:, None]) & (cands <= hi_c[:, None])
+    feas = feas.at[:, 0].set(True)  # lane 0 = lo, always a fallback
+    return jnp.max(jnp.where(feas, cands_c, lo[:, None]), axis=-1)
 
 
 def _assemble(fb: FastBlockData, packed, t_pos, t_nyb, t_valid, max_bytes: int):
@@ -731,33 +838,22 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
         # costing more than the feasibility math itself
         pl3 = _v3_planes(fb)
         g = b // 128
-        lo = jnp.zeros((g, 128), jnp.int32)
-        hi = n_nz.astype(jnp.int32).reshape(g, 128)
-        bud = budget.reshape(g, 128)[:, None, :]
+        bud = budget.astype(jnp.int32).reshape(g, 128)[:, None, :]
         nh_l = fb.n_header.reshape(g, 128)[:, None, :]
-        karr = jnp.arange(1, k + 1, dtype=jnp.int32)[None, :, None]
-        for _ in range(rounds - 1):
-            step = jnp.maximum((hi - lo + k - 1) // k, 1)
-            cands = lo[:, None, :] + step[:, None, :] * karr
-            cands_c = jnp.minimum(cands, jnp.maximum(hi, 0)[:, None, :])
-            (bits_l,) = _v3_call_l(pl3, cands_c, False, interpret)
-            sizes = (4 * (bits_l + nh_l) + 7) & ~7
-            feas = (sizes <= bud) & (cands <= hi[:, None, :])
-            any_f = jnp.any(feas, axis=1)
-            best = jnp.max(jnp.where(feas, cands_c, lo[:, None, :]), axis=1)
-            first_bad = jnp.min(
-                jnp.where(
-                    feas | (cands > hi[:, None, :]), jnp.int32(2**30), cands
-                ),
-                axis=1,
-            )
-            lo = jnp.where(any_f, best, lo)
-            hi = jnp.minimum(hi, first_bad - 1)
+        size_fn_l = lambda nn: (
+            4 * (_v3_call_l(pl3, nn, False, interpret)[0] + nh_l) + 7
+        ) & ~7
+        lo, hi = _bracket_search(
+            size_fn_l,
+            n_nz.astype(jnp.int32).reshape(g, 128),
+            budget.astype(jnp.int32).reshape(g, 128),
+            k,
+            rounds,
+        )
 
-        # final round: candidates lo + 0..k-1, fused with materialization
-        cands = lo[:, None, :] + jnp.arange(k, dtype=jnp.int32)[None, :, None]
-        hi_c = jnp.maximum(hi, lo)
-        cands_c = jnp.minimum(cands, jnp.maximum(hi_c, 0)[:, None, :])
+        # final round: adaptive-spacing candidates, fused with
+        # materialization
+        cands, cands_c, hi_c = _final_cands(lo, hi, k)
         if _use_thin():
             # thin final round: a size-only p3 finds the winner, then a
             # second p3 (REUSING the phase-1/2 state for these same
@@ -817,27 +913,17 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
         )
         return n_out, size_bits, by
 
-    lo = jnp.zeros(b, jnp.int32)
-    hi = n_nz.astype(jnp.int32)
-    for _ in range(rounds - 1):
-        step = jnp.maximum((hi - lo + k - 1) // k, 1)
-        cands = lo[:, None] + step[:, None] * jnp.arange(1, k + 1, dtype=jnp.int32)
-        cands_c = jnp.minimum(cands, jnp.maximum(hi, 0)[:, None])
-        sizes = total_sizes(fb, cands_c, cfg, interpret)
-        feas = (sizes <= budget[:, None]) & (cands <= hi[:, None])
-        any_f = jnp.any(feas, axis=-1)
-        best = jnp.max(jnp.where(feas, cands_c, lo[:, None]), axis=-1)
-        first_bad = jnp.min(
-            jnp.where(feas | (cands > hi[:, None]), jnp.int32(2**30), cands),
-            axis=-1,
-        )
-        lo = jnp.where(any_f, best, lo)
-        hi = jnp.minimum(hi, first_bad - 1)
+    budget = budget.astype(jnp.int32)
+    lo, hi = _bracket_search(
+        lambda nn: total_sizes(fb, nn, cfg, interpret),
+        n_nz,
+        budget,
+        k,
+        rounds,
+    )
 
-    # final round: candidates lo + 0..k-1 (bracket width <= k after the
-    # earlier rounds), fused with materialization
-    cands = lo[:, None] + jnp.arange(k, dtype=jnp.int32)
-    cands_c = jnp.minimum(cands, jnp.maximum(jnp.maximum(hi, lo), 0)[:, None])
+    # final round: adaptive-spacing candidates, fused with materialization
+    cands, cands_c, hi_c = _final_cands(lo, hi, k)
 
     def sel(best_j, x):
         # k-way select (take_along_axis over the candidate axis lowers
