@@ -334,6 +334,7 @@ class _V3Planes(NamedTuple):
     ~2 ms each on chip); every ladder round reuses them."""
 
     coef_l: jnp.ndarray
+    thr_l: jnp.ndarray
     aux_l: jnp.ndarray
     ampn_l: jnp.ndarray
     hfa_l: jnp.ndarray
@@ -341,6 +342,51 @@ class _V3Planes(NamedTuple):
     hdr_l: jnp.ndarray
     b: int
     p_tot: int
+
+
+def _qmin_ge(m, thr_kind: str):
+    """Smallest integer q in [0, 63] with m * 2**q >= threshold,
+    exactly, from the f32 bit pattern (63 = never within q <= 31).
+
+    Multiplying by 2**q only shifts the exponent (exact in f32 until
+    overflow, and boundary cases are never denormal), so the kernel
+    tests cq_unsigned(m * 2**q) >= {1, 2} and their kin collapse to
+    integer compares q >= qmin(m):
+      cq_unsigned(v) >= 1  <=>  v >= 0.5
+      cq_unsigned(v) >= 2  <=>  v >= 2.5   (floor(0.5+sqrt(v-.25)) >= 2)
+    With m = mant * 2**em (mant in [1, 2)):
+      m >= 2.5 * 2**-q = 1.25*2**(1-q)  <=>  q >= (1 if mant>=1.25 else 2) - em
+      m >= 0.5 * 2**-q = 2**(-1-q)      <=>  q >= -1 - em
+      m >= 0.125 * 2**-q                <=>  q >= -3 - em
+    Zeros/denormals get em <= -127 -> qmin clips to 63 ("never"),
+    matching the true test (their product stays far below threshold)."""
+    bits = lax.bitcast_convert_type(m.astype(jnp.float32), jnp.int32) & 0x7FFFFFFF
+    em = ((bits >> 23) & 0xFF) - 127
+    if thr_kind == "2.5":
+        q = jnp.where((bits & 0x7FFFFF) >= 0x200000, 1 - em, 2 - em)
+    elif thr_kind == "0.5":
+        q = -1 - em
+    elif thr_kind == "0.125":
+        q = -3 - em
+    else:  # pragma: no cover
+        raise ValueError(thr_kind)
+    return jnp.clip(jnp.where(bits == 0, 63, q), 0, 63)
+
+
+def _thr_plane_l(coef_l, ampn_l, hfa_l, hfm_l):
+    """Packed per-position threshold plane for the size-only kernel
+    walks (field layout documented above pallas_encode3._p2). Built in
+    lane layout from the already-transposed planes — elementwise plus a
+    position shift and a pair->position repeat, so no extra
+    [B, P] -> lane transpose."""
+    qm0 = _qmin_ge(jnp.abs(coef_l), "2.5")          # [G, P, 1, LAN]
+    qm1 = jnp.concatenate([qm0[:, 1:], qm0[:, -1:]], axis=1)
+    qmn = jnp.repeat(_qmin_ge(ampn_l, "0.5"), 2, axis=1)
+    qmh = jnp.repeat(_qmin_ge(hfa_l, "0.125"), 2, axis=1)
+    hfok = jnp.repeat((hfm_l >> 8) & 1, 2, axis=1)
+    return (
+        qm0 | (qm1 << 6) | (qmn << 12) | (qmh << 18) | (hfok << 24)
+    ).astype(jnp.int32)
 
 
 def _v3_planes(fb: FastBlockData) -> _V3Planes:
@@ -351,12 +397,17 @@ def _v3_planes(fb: FastBlockData) -> _V3Planes:
     hdr_l = jnp.broadcast_to(
         hdrw.reshape(b // pe3.LAN, 1, pe3.LAN), (b // pe3.LAN, pe3.SUBC, pe3.LAN)
     )
+    coef_l = _to_lanes3(fb.coef, b)
+    ampn_l = _to_lanes3(fb.amp_noise, b)
+    hfa_l = _to_lanes3(fb.amp_lin, b)
+    hfm_l = _to_lanes3(fb.hf_meta, b)
     return _V3Planes(
-        _to_lanes3(fb.coef, b),
+        coef_l,
+        _thr_plane_l(coef_l, ampn_l, hfa_l, hfm_l),
         _to_lanes3(fb.aux.astype(jnp.int32), b),
-        _to_lanes3(fb.amp_noise, b),
-        _to_lanes3(fb.amp_lin, b),
-        _to_lanes3(fb.hf_meta, b),
+        ampn_l,
+        hfa_l,
+        hfm_l,
         hdr_l,
         b,
         p_tot,
@@ -377,18 +428,19 @@ def _v3_call_l(pl3: _V3Planes, nout_l, materialize=False, interpret=False):
 
     if _os.environ.get("ULCX_V3_VMAP", "0") == "1":
         return jax.vmap(
-            lambda no, cf, an, ax, ha, hm, hd: tuple(
+            lambda no, cf, th, an, ax, ha, hm, hd: tuple(
                 x[0]
                 for x in pe3.encode_kernel_call3(
-                    no[None], cf[None], an[None], ax[None], ha[None],
-                    hm[None], hd[None], pl3.p_tot, materialize, interpret,
+                    no[None], cf[None], th[None], an[None], ax[None],
+                    ha[None], hm[None], hd[None], pl3.p_tot, materialize,
+                    interpret,
                 )
             )
-        )(nout_l, pl3.coef_l, pl3.ampn_l, pl3.aux_l, pl3.hfa_l,
-          pl3.hfm_l, pl3.hdr_l)
+        )(nout_l, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
+          pl3.hfa_l, pl3.hfm_l, pl3.hdr_l)
     return pe3.encode_kernel_call3(
-        nout_l, pl3.coef_l, pl3.ampn_l, pl3.aux_l, pl3.hfa_l, pl3.hfm_l,
-        pl3.hdr_l, pl3.p_tot, materialize, interpret,
+        nout_l, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l, pl3.hfa_l,
+        pl3.hfm_l, pl3.hdr_l, pl3.p_tot, materialize, interpret,
     )
 
 
@@ -787,13 +839,13 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
         if _use_thin():
             pl3 = _v3_planes(fb)
             state = pe3.p12_call(
-                nout_l, pl3.coef_l, pl3.aux_l, p_tot, interpret
+                nout_l, pl3.coef_l, pl3.thr_l, pl3.aux_l, p_tot, interpret
             )
             bz = jnp.zeros((g, 1, pe3.LAN), jnp.int32)
             bits_l, word_t, widx_t, freg_l, fwc_l = pe3.p3_call(
-                nout_l, pl3.coef_l, pl3.ampn_l, pl3.aux_l, pl3.hfa_l,
-                pl3.hfm_l, state, pl3.hdr_l, p_tot, True, interpret,
-                thin=True, bestj=bz,
+                nout_l, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
+                pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, True,
+                interpret, thin=True, bestj=bz,
             )
             size_bits = (
                 4 * (bits_l[:, 0, :].reshape(b) + fb.n_header) + 7
@@ -863,11 +915,12 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
             from ulcx.bitstream import pallas_encode3 as pe3
 
             state = pe3.p12_call(
-                cands_c, pl3.coef_l, pl3.aux_l, p_tot, interpret
+                cands_c, pl3.coef_l, pl3.thr_l, pl3.aux_l, p_tot, interpret
             )
             (bits_l,) = pe3.p3_call(
-                cands_c, pl3.coef_l, pl3.ampn_l, pl3.aux_l, pl3.hfa_l,
-                pl3.hfm_l, state, pl3.hdr_l, p_tot, False, interpret,
+                cands_c, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
+                pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, False,
+                interpret,
             )
             word_l = widx_l = freg_l = fwc_l = None
         else:
@@ -897,9 +950,10 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
         size_bits = sel_l(sizes).reshape(b)
         if _use_thin():
             _, word_t, widx_t, freg_t, fwc_t = pe3.p3_call(
-                cands_c, pl3.coef_l, pl3.ampn_l, pl3.aux_l, pl3.hfa_l,
-                pl3.hfm_l, state, pl3.hdr_l, p_tot, True, interpret,
-                thin=True, bestj=best_j[:, None, :].astype(jnp.int32),
+                cands_c, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
+                pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, True,
+                interpret, thin=True,
+                bestj=best_j[:, None, :].astype(jnp.int32),
             )
             by = _assemble_v3_lanes(
                 word_t.reshape(g, p_tot, pe3.LAN),

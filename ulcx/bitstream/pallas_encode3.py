@@ -119,7 +119,23 @@ def _p1(nout_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc, *, unroll: int):
 # Phase 2: reverse backfill.
 
 
-def _p2(nout_ref, coef_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
+# The 2.5/0.5/0.125 magnitude tests against value*2^q products are
+# integer compares q >= qmin(value) (the scaling by 2^q is exact in
+# f32, so the smallest passing q is a pure function of the value's bit
+# pattern — fast_encode._qmin_ge builds them). The size-only walks read
+# ONE packed per-position threshold plane instead of the four value
+# planes (coef/coefn/ampn/hfamp + hfmeta), cutting both the serial-loop
+# op count (the walks are issue-bound — NOTES.md round-3 facts) and the
+# per-round HBM traffic. Field layout (i32):
+#   bits 0-5   qmin(|coef[p]|, 2.5)      - resc test / p2 coded test
+#   bits 6-11  qmin(|coef[p+1]|, 2.5)    - resc second-coef test
+#   bits 12-17 qmin(ampn[pair], 0.5)     - noise-run amplitude test
+#   bits 18-23 qmin(hfamp[pair], 0.125)  - HF-extension amplitude test
+#   bit  24    hfok[pair]                - HF fit validity
+# 63 = "never" (beyond the 5-bit quantizer range).
+
+
+def _p2(nout_ref, thr_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -147,8 +163,8 @@ def _p2(nout_ref, coef_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
         zone_end = kept & ((nk >= SENT) | (nk_split == 1) | diff_seg)
         qi_new = s12 & 0x1F
         cur_qi = jnp.where(zone_end, qi_new, cur_qi)
-        scale = _exp2i(cur_qi)
-        coded = kept & (jnp.abs(coef_ref[lp]) * scale >= 2.5)
+        # |coef|*2^cur_qi >= 2.5 as an integer threshold compare
+        coded = kept & (cur_qi >= (thr_ref[lp] & 63))
         q_next = jnp.where(coded, cur_qi, q_next)
         ncp_new = jnp.where(coded, p, ncp)
         state_ref[lp] = (
@@ -185,16 +201,20 @@ def _p2(nout_ref, coef_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
 #    words (per-lane VMEM offsets — the round-2 blocker — never arise).
 
 
-def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
-        hfmeta_ref, state_ref, *rest, materialize: bool, unroll: int,
+def _p3(nout_ref, *refs, materialize: bool, unroll: int,
         thin: bool = False):
     if materialize and thin:
-        (hdr_ref, bestj_ref, bits_ref, word_ref, widx_ref, freg_ref,
-         fwc_ref, st_sc) = rest
+        (coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref, hfmeta_ref,
+         state_ref, hdr_ref, bestj_ref, bits_ref, word_ref, widx_ref,
+         freg_ref, fwc_ref, st_sc) = refs
     elif materialize:
-        (hdr_ref, bits_ref, word_ref, widx_ref, freg_ref, fwc_ref, st_sc) = rest
+        (coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref, hfmeta_ref,
+         state_ref, hdr_ref, bits_ref, word_ref, widx_ref, freg_ref,
+         fwc_ref, st_sc) = refs
     else:
-        (bits_ref, st_sc) = rest
+        # size-only walk: the value planes collapse into the packed
+        # threshold plane (see the field-layout comment above _p2)
+        (thr_ref, aux_ref, state_ref, bits_ref, st_sc) = refs
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -241,23 +261,29 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
         q_cnt = jnp.where(need_q, 1 + ext_q + lead, 0)
 
         z_r = jnp.clip(ncp - p, 0, SENT)
-        scale = _exp2i(qq)
-        c0 = coef_ref[lp]
-        c1 = coefn_ref[lp]
-        qn1 = jnp.minimum(_cq_unsigned(jnp.abs(c0) * scale), 7)
-        qn1 = jnp.where(c0 < 0, -qn1, qn1)
-        qn2 = jnp.minimum(_cq_unsigned(jnp.abs(c1) * scale), 7)
-        qn2 = jnp.where(c1 < 0, -qn2, qn2)
-        amp = amp_ref[lp >> 1]
-        nq_est = jnp.where(amp > 0, jnp.minimum(_cq_unsigned(amp * scale), 8), 0)
+        if materialize:
+            scale = _exp2i(qq)
+            c0 = coef_ref[lp]
+            c1 = coefn_ref[lp]
+            qn1 = jnp.minimum(_cq_unsigned(jnp.abs(c0) * scale), 7)
+            qn1 = jnp.where(c0 < 0, -qn1, qn1)
+            qn2 = jnp.minimum(_cq_unsigned(jnp.abs(c1) * scale), 7)
+            qn2 = jnp.where(c1 < 0, -qn2, qn2)
+            amp = amp_ref[lp >> 1]
+            nq_est = jnp.where(
+                amp > 0, jnp.minimum(_cq_unsigned(amp * scale), 8), 0
+            )
+            resc_ok = (jnp.abs(qn1) > 1) & ((z_r < 2) | (jnp.abs(qn2) > 1))
+            noise_ok = nq_est > 0
+        else:
+            thr = thr_ref[lp]
+            resc_ok = (qq >= (thr & 63)) & (
+                (z_r < 2) | (qq >= ((thr >> 6) & 63))
+            )
+            noise_ok = qq >= ((thr >> 12) & 63)
 
-        do_resc = (
-            gap_ev
-            & (z_r <= 2)
-            & (jnp.abs(qn1) > 1)
-            & ((z_r < 2) | (jnp.abs(qn2) > 1))
-        )
-        do_noise = gap_ev & (~do_resc) & (z_r >= 16) & (nq_est > 0)
+        do_resc = gap_ev & (z_r <= 2) & resc_ok
+        do_noise = gap_ev & (~do_resc) & (z_r >= 16) & noise_ok
         do_zs = gap_ev & (~do_resc) & (~do_noise) & (z_r < 33)
         run_n = jnp.where(
             do_resc,
@@ -286,13 +312,18 @@ def _p3(nout_ref, coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref,
         tail_ev = (coded == 0) & is_tail & (tail_done == 0)
         n_tail = segdelta
         pq_valid = prev_q >= 0
-        meta = hfmeta_ref[lp >> 1]
-        hfok = (meta >> 8) == 1
-        dec_t = meta & 0xFF
-        pq_scale = _exp2i(jnp.clip(prev_q, 0, 31))
-        amp_t = hfamp_ref[lp >> 1]
-        nq_hf = jnp.minimum(_cq_unsigned(amp_t * pq_scale * 4.0), 16)
-        do_hf = tail_ev & pq_valid & (n_tail >= 16) & hfok & (nq_hf > 0)
+        if materialize:
+            meta = hfmeta_ref[lp >> 1]
+            hfok = (meta >> 8) == 1
+            dec_t = meta & 0xFF
+            pq_scale = _exp2i(jnp.clip(prev_q, 0, 31))
+            amp_t = hfamp_ref[lp >> 1]
+            nq_hf = jnp.minimum(_cq_unsigned(amp_t * pq_scale * 4.0), 16)
+            hf_amp_ok = nq_hf > 0
+        else:
+            hfok = ((thr >> 24) & 1) == 1
+            hf_amp_ok = prev_q >= ((thr >> 18) & 63)
+        do_hf = tail_ev & pq_valid & (n_tail >= 16) & hfok & hf_amp_ok
         do_stop = tail_ev & (n_tail > 4) & (~do_hf)
         do_zt = tail_ev & (n_tail > 0) & (n_tail <= 4)
         cnt_tail = jnp.where(
@@ -458,11 +489,13 @@ def _specs(p_tot: int):
     return in_spec, lin_spec, rin_spec, chunk_spec, rchunk_spec, whole
 
 
-def p12_call(nout, coef, aux, p_tot: int, interpret: bool = False):
+def p12_call(nout, coef, thr, aux, p_tot: int, interpret: bool = False):
     """Phases 1+2 (forward zone scan, reverse backfill): the packed
     per-position state plane [G, P, SUBC, LAN] consumed by phase 3.
     Exposed separately so a size pass and a materialize pass over the
-    SAME candidates (the thin final round) reuse one state build."""
+    SAME candidates (the thin final round) reuse one state build.
+    p1 reads the coefficient values (zone min/max); p2 only ever tests
+    |coef|*2^q >= 2.5, so it reads the packed threshold plane."""
     n_chunks = p_tot // CHUNK
     g = nout.shape[0]
     grid = (g, n_chunks)
@@ -490,13 +523,18 @@ def p12_call(nout, coef, aux, p_tot: int, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((g, p_tot, SUBC, LAN), jnp.int32),
         scratch_shapes=[pltpu.VMEM((5, SUBC, LAN), jnp.int32)],
         interpret=interpret,
-    )(nout, coef, aux, s12)
+    )(nout, thr, aux, s12)
 
 
-def p3_call(nout, coef, ampn, aux, hfamp, hfmeta, state, hdr,
+def p3_call(nout, coef, thr, ampn, aux, hfamp, hfmeta, state, hdr,
             p_tot: int, materialize: bool, interpret: bool = False,
             thin: bool = False, bestj=None):
     """Phase 3 (forward emission walk) over a prebuilt state plane.
+
+    Size-only mode reads (nout, thr, aux, state): the coefficient/
+    amplitude value planes are replaced by the packed threshold plane
+    (pass coef/ampn/hfamp/hfmeta as None). Materialize mode reads the
+    full value planes (thr unused).
 
     thin (materialize only): word/widx come back [G, P/8, 8, LAN] —
     ONE winner-selected plane (row-major == [G, P, LAN]) instead of 8
@@ -514,10 +552,21 @@ def p3_call(nout, coef, ampn, aux, hfamp, hfmeta, state, hdr,
         )
     in_spec, lin_spec, _, chunk_spec, _, whole = _specs(p_tot)
 
-    coefn = jnp.concatenate([coef[:, 1:], coef[:, -1:]], axis=1)
     kern3 = functools.partial(
         _p3, materialize=materialize, unroll=unroll, thin=thin
     )
+    if not materialize:
+        return (pl.pallas_call(
+            kern3,
+            grid=grid,
+            in_specs=[whole, in_spec, in_spec, chunk_spec],
+            out_specs=whole,
+            out_shape=jax.ShapeDtypeStruct((g, SUBC, LAN), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((4, SUBC, LAN), jnp.int32)],
+            interpret=interpret,
+        )(nout, thr, aux, state),)
+
+    coefn = jnp.concatenate([coef[:, 1:], coef[:, -1:]], axis=1)
     in_specs = [whole, in_spec, in_spec, lin_spec, in_spec, lin_spec,
                 lin_spec, chunk_spec]
     if materialize and thin:
@@ -561,19 +610,8 @@ def p3_call(nout, coef, ampn, aux, hfamp, hfmeta, state, hdr,
             interpret=interpret,
         )(nout, coef, coefn, ampn, aux, hfamp, hfmeta, state, hdr)
 
-    bits = pl.pallas_call(
-        kern3,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=whole,
-        out_shape=jax.ShapeDtypeStruct((g, SUBC, LAN), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((4, SUBC, LAN), jnp.int32)],
-        interpret=interpret,
-    )(nout, coef, coefn, ampn, aux, hfamp, hfmeta, state)
-    return (bits,)
 
-
-def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
+def encode_kernel_call3(nout, coef, thr, ampn, aux, hfamp, hfmeta, hdr,
                         p_tot: int, materialize: bool,
                         interpret: bool = False,
                         thin: bool = False, bestj=None):
@@ -595,6 +633,6 @@ def encode_kernel_call3(nout, coef, ampn, aux, hfamp, hfmeta, hdr,
     partial word, and the completed-word count. With thin=True the
     word/widx planes are winner-selected (see p3_call).
     """
-    state = p12_call(nout, coef, aux, p_tot, interpret)
-    return p3_call(nout, coef, ampn, aux, hfamp, hfmeta, state, hdr,
+    state = p12_call(nout, coef, thr, aux, p_tot, interpret)
+    return p3_call(nout, coef, thr, ampn, aux, hfamp, hfmeta, state, hdr,
                    p_tot, materialize, interpret, thin, bestj)
