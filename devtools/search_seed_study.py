@@ -40,12 +40,12 @@ def main():
     from ulcx.analysis.block import EncoderCarry, analyze_block
 
     # per-stream analysis (scan path) to get BlockData per block
-    budget = int(cbr_bit_budget(cfg, 128.0))
+    budget = int(cbr_bit_budget(cfg, float(os.environ.get("ULCX_STUDY_KBPS", "128"))))
     size_f = jax.jit(lambda bd, k: encode_pass_size(bd, k, "segment"))
     ana_f = jax.jit(lambda c, x: analyze_block(c, x, cfg))
     prep_f = jax.jit(lambda blk: prepare_block(blk, cfg))
 
-    errs, n_trues = [], []
+    errs, n_trues, finals = [], [], []
     for i in range(nb):
         carry = EncoderCarry.init(cfg)
         for tt in range(t):
@@ -87,6 +87,35 @@ def main():
         errs.append(n_star - n_true)
         n_trues.append(n_true)
 
+        # end-to-end schedule emulation: gap-scaled seeded round +
+        # adaptive-spacing final round (mirrors _bracket_search /
+        # _final_cands integer math)
+        from ulcx.bitstream.fast_encode import _SEED_W
+
+        s_lo2, s_hi2 = slo, shi
+        gap = (hi + 1) - lo  # fbad - lo, fbad = hi + 1
+        den = max(s_hi2 - s_lo2, 1)
+        n_star_i = lo + (budget - s_lo2) * gap // den
+        n_star_i = max(lo, min(n_star_i, hi))
+        sc = sorted(
+            set(
+                max(lo, min(n_star_i + ((gap * int(w)) >> 8), hi))
+                for w in _SEED_W[8]
+            )
+        )
+        s2 = {c: int(size_f(bd, jnp.int32(c))) for c in sc}
+        feas2 = [c for c in sc if s2[c] <= budget]
+        lo2 = max(feas2) if feas2 else lo
+        bad2 = [c for c in sc if s2[c] > budget]
+        hi2 = min(hi, min(bad2) - 1) if bad2 else hi
+        hi2 = max(hi2, lo2)
+        sp = max(1, -(-(hi2 - lo2) // 7))
+        fc = [min(lo2 + sp * j, hi2) for j in range(8)]
+        s3 = {c: int(size_f(bd, jnp.int32(c))) for c in fc}
+        feas3 = [c for c in fc if s3[c] <= budget]
+        n_sel = max(feas3) if feas3 else lo2
+        finals.append(n_sel - n_true)
+
     e = np.abs(np.asarray(errs))
     print(f"blocks measured: {len(errs)} (bs={bs}, budget={budget})")
     if len(e):
@@ -96,6 +125,12 @@ def main():
         )
         print("signed err mean %.1f" % np.mean(errs))
         print("n_true     p50 %.0f" % np.percentile(n_trues, 50))
+        f = np.asarray(finals)
+        print(
+            "final n_sel-n_true: exact %d%%  p50 %.0f  p1 %.0f  min %.0f"
+            % (100 * np.mean(f == 0), *np.percentile(f, [50, 1]), f.min())
+        )
+        assert (f <= 0).all(), "selected above true max-feasible?!"
 
 
 if __name__ == "__main__":

@@ -613,10 +613,16 @@ def total_sizes(fb: FastBlockData, nout, cfg: CodecConfig, interpret=False):
 # maximum in the interp-miss tail — never infeasible. Rate-control
 # contract unchanged: chosen size <= budget always.
 
-_SEED_OFF = {
-    8: np.array([-40, -17, -8, -3, 0, 3, 8, 20], np.int32),
+# Seeded-round offsets in 1/256ths of the bracket gap (applied as
+# (gap * W) >> 8). Gap-proportional spread because the interpolation
+# error scales with the bracket and its BIAS scales with the curve's
+# local convexity, which grows at low rates: measured |err| p99 is
+# ~7% of the gap at 128 kbps but ~15% (all positive-signed) at
+# 48 kbps (devtools/search_seed_study.py) — a fixed span misses there.
+_SEED_W = {
+    8: np.array([-51, -31, -18, -9, -4, 0, 5, 15], np.int32),
     16: np.array(
-        [-76, -52, -36, -24, -15, -9, -5, -2, 0, 2, 5, 9, 15, 24, 36, 52],
+        [-64, -51, -40, -31, -23, -16, -10, -6, -3, 0, 2, 5, 9, 14, 21, 30],
         np.int32,
     ),
 }
@@ -688,7 +694,8 @@ def _bracket_search(size_fn, n_nz, budget, k: int, rounds: int):
         n_star = jnp.clip(
             lo + (budget - s_lo) * gap // den, lo, jnp.maximum(hi, lo)
         )
-        off = jnp.asarray(_SEED_OFF[k]).reshape(kshape)
+        w = jnp.asarray(_SEED_W[k]).reshape(kshape)
+        off = (x1(gap) * w) >> 8
         sc = jnp.clip(x1(n_star) + off, x1(lo), x1(jnp.maximum(hi, lo)))
         step = jnp.maximum((hi - lo + k - 1) // k, 1)
         std = x1(lo) + x1(step) * karr1
