@@ -47,7 +47,7 @@ def _run(curves, n_nz, budget, k=8, rounds=4):
     lo, hi = _bracket_search(size_fn, jnp.asarray(n_nz, jnp.int32), bud, k, rounds)
     cands, cands_c, hi_c = _final_cands(lo, hi, k)
     sizes = size_fn(cands_c)
-    feas = (sizes <= bud[:, None]) & (cands <= hi_c[:, None])
+    feas = sizes <= bud[:, None]
     feas = feas.at[:, 0].set(True)
     return np.asarray(jnp.max(jnp.where(feas, cands_c, lo[:, None]), axis=-1))
 
@@ -84,4 +84,4 @@ def test_degenerate_inputs():
     for i in range(8):
         assert 0 <= n_sel[i] <= n_nz[i]
         if n_sel[i] > 0:
-            assert curves[i, n_sel[i]] <= budget[i] or n_sel[i] == 0
+            assert curves[i, n_sel[i]] <= budget[i]

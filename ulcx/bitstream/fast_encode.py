@@ -740,7 +740,9 @@ def rate_search_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     lo, hi = _bracket_search(size_fn, n_nz, budget, k, rounds)
     cands, cands_c, hi_c = _final_cands(lo, hi, k)
     sizes = size_fn(cands_c)
-    feas = (sizes <= budget[:, None]) & (cands <= hi_c[:, None])
+    # clipped candidates equal hi_c (in-bracket) and stay selectable —
+    # no cands <= hi_c gate here, unlike the bracketing rounds
+    feas = sizes <= budget[:, None]
     feas = feas.at[:, 0].set(True)  # lane 0 = lo, always a fallback
     return jnp.max(jnp.where(feas, cands_c, lo[:, None]), axis=-1)
 
@@ -935,7 +937,8 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
                 pl3, cands_c, True, interpret
             )
         sizes = (4 * (bits_l + nh_l) + 7) & ~7
-        feas = (sizes <= bud) & (cands <= hi_c[:, None, :])
+        # clipped candidates equal hi_c (in-bracket): selectable
+        feas = sizes <= bud
         feas = feas.at[:, 0, :].set(True)  # lane 0 = lo, always a fallback
         jidx = jnp.arange(k)[None, :, None]
         best_j = jnp.max(jnp.where(feas, jidx, 0), axis=1)  # [G, LAN]
@@ -999,8 +1002,9 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     bits, slotpq, slotlc, nyb = kernel_sizes(fb, cands_c, cfg, True, interpret)
     t_total, t_pos, t_nyb, t_valid = tail_info(fb, slotpq, slotlc, cfg)
     sizes = (4 * (bits + t_total + fb.n_header[:, None]) + 7) & ~7
-    feas = (sizes <= budget[:, None]) & (cands <= jnp.maximum(hi, lo)[:, None])
-    feas = feas.at[:, 0].set(feas[:, 0] | True)  # lane 0 = lo, always chosen as fallback
+    # clipped candidates equal hi_c (in-bracket): selectable
+    feas = sizes <= budget[:, None]
+    feas = feas.at[:, 0].set(True)  # lane 0 = lo, always a fallback
     jidx = jnp.arange(k)[None, :]
     best_j = jnp.max(jnp.where(feas, jidx, 0), axis=-1)  # [B]
     n_out = jnp.take_along_axis(cands_c, best_j[:, None], 1)[:, 0]
