@@ -360,19 +360,28 @@ def _p3(nout_ref, *refs, materialize: bool, unroll: int,
             )
             t2 = jnp.where(do_noise, (v_noise >> 1) & 0xF, v_long & 0xF)
             t3 = ((v_noise & 1) | ((nq_est - 1) << 1)) & 0xF
-            token = [t0, t1, t2, t3]
-            packed = jnp.zeros((SUBC, LAN), jnp.int32)
-            for k in range(7):
-                tk = jnp.clip(k - q_cnt, 0, 3)
-                tv = token[0]
-                for jj in range(1, 4):
-                    tv = jnp.where(tk == jj, token[jj], tv)
-                qv = qv0 if k == 0 else (qv1 if k == 1 else qv2)
-                if k <= 2:
-                    val = jnp.where(k < q_cnt, qv, tv) & 0xF
-                else:
-                    val = tv & 0xF
-                packed = packed | jnp.where(k < cnt, val << (4 * k), 0)
+            # arithmetic pack instead of a 7-step select loop (~20
+            # fewer ops in the issue-bound walk): quantizer nybbles,
+            # then the token nybbles shifted up by 4*q_cnt, masked to
+            # cnt nybbles. q_cnt <= 3 and cnt <= 7, so the variable
+            # shifts decompose into predicated STATIC shifts (variable
+            # vector shifts lower poorly on Mosaic — round-2 A/B).
+            qpart = (
+                (qv0 & 0xF) | ((qv1 & 0xF) << 4) | ((qv2 & 0xF) << 8)
+            )
+            qm = jnp.where((q_cnt & 1) == 1, 0xF, 0)
+            qm = qm | jnp.where((q_cnt & 2) == 2, (qm << 8) | 0xFF, 0)
+            tpart = (
+                (t0 & 0xF) | ((t1 & 0xF) << 4) | ((t2 & 0xF) << 8)
+                | ((t3 & 0xF) << 12)
+            )
+            tpart = jnp.where((q_cnt & 1) == 1, tpart << 4, tpart)
+            tpart = jnp.where((q_cnt & 2) == 2, tpart << 8, tpart)
+            one = jnp.full((SUBC, LAN), 1, jnp.int32)
+            hb = jnp.where((cnt & 1) == 1, one << 4, one)
+            hb = jnp.where((cnt & 2) == 2, hb << 8, hb)
+            hb = jnp.where((cnt & 4) == 4, hb << 16, hb)
+            packed = ((qpart & qm) | tpart) & (hb - 1)
             tail_packed = jnp.where(
                 do_hf,
                 0xF
