@@ -2,9 +2,9 @@
 
 Glue around ``ulcx.bitstream.pallas_encode``: packs per-position inputs
 (ranks, segment geometry, noise decisions) into the kernel's aux word,
-prices the per-segment tail tokens outside the kernel (vectorized; they
-need the candidate-independent HF-extension fit), runs the 3-round
-candidate ladder, and assembles final byte streams.
+prices the per-segment tail tokens inside the kernel walks, runs the
+interp-seeded candidate ladder (_bracket_search), and assembles final
+byte streams.
 
 Active when the batch is a multiple of 8 streams and P <= 4096 on a
 TPU backend; otherwise the scan path (ulcx.bitstream.encode) is used.
@@ -881,10 +881,10 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
 
 def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
                             max_bytes: int, interpret=False):
-    """CBR/ABR: ladder rate search with the final round fused into
-    materialization (the kernel prices and packs all 16 candidate lanes;
-    the best feasible lane's stream is selected). Returns
-    (n_out [B], size_bits [B], bytes [B, max_bytes])."""
+    """CBR/ABR: interp-seeded ladder rate search with the final round
+    fused into materialization (the kernel prices and packs every
+    candidate lane; the best feasible lane's stream is selected).
+    Returns (n_out [B], size_bits [B], bytes [B, max_bytes])."""
     import math
 
     b, p_tot = fb.coef.shape
