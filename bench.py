@@ -133,6 +133,7 @@ def main():
         n_chan=2,
         block_size=n,
         flat_stream=os.environ.get("ULCX_BENCH_FLAT", "0") == "1",
+        fold_bitstream=int(os.environ.get("ULCX_BENCH_FOLD", "1")),
     )
 
     blocks = jnp.asarray(make_corpus(b, t, n))

@@ -17,7 +17,7 @@ from ulcx.codec.encoder import (
 from ulcx.utils.config import CodecConfig
 
 
-def _compare(rng, t, use_pallas):
+def _compare(rng, t, use_pallas, mode="flat"):
     # mono: every flat-vs-per-block decision (window control carry,
     # ranks, kernel rate search) is channel-count-independent, and the
     # stereo M/S kernel path is byte-equality-tested in
@@ -31,7 +31,8 @@ def _compare(rng, t, use_pallas):
     blocks = blocks.at[:4, 1, :, 100:140].add(0.6)
     cfg = CodecConfig(
         rate_hz=44100, n_chan=c, block_size=n, use_pallas=use_pallas,
-        flat_stream=True,
+        flat_stream=(mode == "flat"),
+        fold_bitstream=(t if mode == "fold" else 1),
     )
 
     # jit both paths: run eagerly, every primitive (incl. each
@@ -42,10 +43,16 @@ def _compare(rng, t, use_pallas):
     )
     out_flat, carry_flat = flat_fn(blocks)
 
-    blk_fn = jax.jit(
-        lambda ca, x: encode_block_batched(ca, x, cfg, "cbr", rate_kbps=128.0)
+    # reference cfg without the stream-pipeline knobs: per-block
+    # semantics are identical, and blk_fn's jit cache is then shared
+    # between the flat and fold tests (one reference compile)
+    cfg_ref = CodecConfig(
+        rate_hz=44100, n_chan=c, block_size=n, use_pallas=use_pallas
     )
-    carry = init_carry_batched(cfg, b)
+    blk_fn = jax.jit(
+        lambda ca, x: encode_block_batched(ca, x, cfg_ref, "cbr", rate_kbps=128.0)
+    )
+    carry = init_carry_batched(cfg_ref, b)
     outs = []
     for j in range(t):
         carry, enc = blk_fn(carry, blocks[:, j])
@@ -79,3 +86,11 @@ def test_flat_stream_equals_per_block_kernel_path(rng):
     # expensive than interpret-mode kernels (vmapped per-stream scan
     # compiles); the kernel path is also what production flat mode runs
     _compare(rng, t=2, use_pallas="on")
+
+
+def test_fold_bitstream_equals_per_block(rng):
+    """fold_bitstream chunks the bitstream stages over T while analysis
+    stays a per-block scan — bytes must match the per-block path
+    (same comparison harness as flat mode; fold = t folds everything
+    into one bitstream chunk)."""
+    _compare(rng, t=2, use_pallas="on", mode="fold")

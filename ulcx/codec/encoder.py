@@ -287,6 +287,35 @@ def encode_stream_batched(blocks, cfg: CodecConfig, mode: str, carry=None, **kw)
         )
         return out, carry
 
+    fold = cfg.fold_bitstream
+    if fold > 1 and t % fold == 0:
+        # analysis stays a per-block scan (carried window control);
+        # the bitstream stages run once per fold-block chunk at
+        # fold*B streams — the kernel pipeline launches T/fold times
+        # instead of T times, with identical bytes (streams are
+        # independent; [T, B] -> [T/fold, fold*B] is a contiguous view)
+        from ulcx.analysis.batched import analyze_block_batched
+
+        def ana_step(c, blk_t):
+            return analyze_block_batched(c, blk_t, cfg)
+
+        carry, abs_t = lax.scan(ana_step, carry, blocks.transpose(1, 0, 2, 3))
+        abf = jax.tree_util.tree_map(
+            lambda x: x.reshape((t // fold, fold * b) + x.shape[2:]), abs_t
+        )
+        if _use_kernel(cfg, fold * b):
+            enc_fn = lambda ab: _encode_analyzed_fast(ab, cfg, mode, **kw)
+        else:
+            enc_fn = jax.vmap(lambda ab: _encode_analyzed(ab, cfg, mode, **kw))
+        enc = lax.map(enc_fn, abf)
+        out = jax.tree_util.tree_map(
+            lambda x: jnp.swapaxes(
+                x.reshape((t, b) + x.shape[2:]), 0, 1
+            ),
+            enc,
+        )
+        return out, carry
+
     def step(c, blk_t):
         return encode_block_batched(c, blk_t, cfg, mode, **kw)
 

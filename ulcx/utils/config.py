@@ -74,6 +74,15 @@ class CodecConfig:
     # end-to-end on the round-2 chip (NOTES.md) — kept as an A/B-able
     # alternative; default off.
     flat_stream: bool = False
+    # Fold the BITSTREAM stages (prepare/rate-search/materialize/
+    # assemble) over chunks of fold_bitstream blocks while analysis
+    # stays a per-block scan: the kernel pipeline then launches once
+    # per chunk at fold*B streams instead of once per block — fewer
+    # Pallas launches and ladder-glue dispatches, identical bytes
+    # (per-stream independence). 1 = off (per-block, the measured
+    # round-3 configuration); memory for the kernel state planes scales
+    # with fold*B.
+    fold_bitstream: int = 1
 
     def __post_init__(self):
         if not (MIN_CHANS <= self.n_chan <= MAX_CHANS):
@@ -91,6 +100,10 @@ class CodecConfig:
             raise ValueError(f"bad noise_run_window {self.noise_run_window!r}")
         if self.use_pallas not in ("auto", "on", "off"):
             raise ValueError(f"bad use_pallas {self.use_pallas!r}")
+        if not (isinstance(self.fold_bitstream, int) and self.fold_bitstream >= 1):
+            raise ValueError(
+                f"fold_bitstream must be an int >= 1, got {self.fold_bitstream!r}"
+            )
 
     @cached_property
     def max_decimation(self) -> int:
