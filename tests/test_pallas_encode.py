@@ -116,8 +116,8 @@ def test_kernel_v2_matches_v1(rng):
         jax.jit(lambda f, n: total_sizes(f, n, CFG, interpret=True))(fb, nout)
     )
     size_scan = jax.jit(lambda bd, k: encode_pass_size(bd, k, "segment"))
-    for i in range(0, 64, 7):
-        for j in range(0, 16, 3):
+    for i in range(0, 64, 11):
+        for j in range(0, 16, 5):
             want = int(size_scan(bds[i], nout[i, j]))
             assert got[i, j] == want, (i, j, wcs[i], got[i, j], want)
 
@@ -125,7 +125,7 @@ def test_kernel_v2_matches_v1(rng):
     sizes, bys = jax.jit(
         lambda f, n: materialize_fast(f, n, CFG, 2 * C * N, interpret=True)
     )(fb, n_out)
-    for i in range(0, 64, 9):
+    for i in range(0, 64, 15):
         want_bits, want_by = jax.jit(
             lambda bd, k: encode_pass_materialize(bd, k, 2 * C * N, "segment")
         )(bds[i], n_out[i])
