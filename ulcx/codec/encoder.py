@@ -216,7 +216,9 @@ def _encode_analyzed_fast(blk: AnalyzedBlock, cfg: CodecConfig, mode: str, **kw)
         search_materialize_fast,
     )
 
-    interpret = jax.default_backend() in ("cpu",)
+    from ulcx.utils.config import mosaic_interpret
+
+    interpret = mosaic_interpret()
     fb = prepare_fast(blk, cfg)
     p_tot = cfg.n_chan * cfg.block_size
     if mode == "vbr":

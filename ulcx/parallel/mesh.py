@@ -80,6 +80,7 @@ def batch_decode(
 ):
     """Decode a batch of padded byte streams [B, S] -> pcm [B, T, C, N]."""
     from ulcx.codec.decoder import decode_stream_batched
+    from ulcx.utils.config import mosaic_interpret as _mosaic_interpret
 
     use_kernel = (
         cfg.use_pallas != "off"
@@ -96,7 +97,7 @@ def batch_decode(
                 n_blocks,
                 window_bytes,
                 cfg,
-                interpret=jax.default_backend() in ("cpu",),
+                interpret=_mosaic_interpret(),
             )
         return jax.vmap(
             lambda s: decode_stream(s, n_blocks, window_bytes, cfg)[:3]

@@ -122,3 +122,20 @@ class CodecConfig:
         if self.transform_backend == "fft":
             return False
         return n <= self.matmul_max_n
+
+
+def mosaic_interpret() -> bool:
+    """Pallas interpret-mode default: on CPU backends the kernels run
+    interpreted (tests), on TPU they compile via Mosaic. ULCX_FORCE_
+    MOSAIC=1 overrides to compiled form even when the default backend
+    is CPU — used by devtools/aot_check.py, which AOT-compiles the
+    production pipeline against a deviceless v5e TopologyDescription
+    to validate Mosaic acceptance and measure compile cost without a
+    chip."""
+    import os
+
+    import jax
+
+    if os.environ.get("ULCX_FORCE_MOSAIC") == "1":
+        return False
+    return jax.default_backend() in ("cpu",)
