@@ -14,7 +14,9 @@ varied decimation patterns.
 
 Env knobs: ULCX_BENCH_B (streams), ULCX_BENCH_T (blocks/stream),
 ULCX_BENCH_MODE (cbr|abr|vbr), ULCX_BENCH_BS (block size),
-ULCX_BENCH_DECODE (0 to skip the decode metric).
+ULCX_BENCH_DECODE (0 to skip the decode metric),
+ULCX_BENCH_TBACKEND (transform_backend: auto|matmul|fact|fft),
+ULCX_BENCH_MAXN (matmul_max_n — the auto matmul/fact crossover).
 """
 
 from __future__ import annotations
@@ -134,6 +136,8 @@ def main():
         block_size=n,
         flat_stream=os.environ.get("ULCX_BENCH_FLAT", "0") == "1",
         fold_bitstream=int(os.environ.get("ULCX_BENCH_FOLD", "1")),
+        transform_backend=os.environ.get("ULCX_BENCH_TBACKEND", "auto"),
+        matmul_max_n=int(os.environ.get("ULCX_BENCH_MAXN", "2048")),
     )
 
     blocks = jnp.asarray(make_corpus(b, t, n))

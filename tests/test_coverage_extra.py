@@ -105,14 +105,15 @@ def test_kernel_gate_bs8192():
     assert (aux >> 30) & 1 == 1
 
 
-def test_fft_backend_end_to_end_bs8192(rng):
-    """Full pipeline through the FFT transform backend (block sizes
-    above matmul_max_n=4096 route to ulcx.ops.dct.dct4_fft). VBR keeps
-    this single-pass; 8192 bounds the CPU suite's compile time (the
-    16-branch window switch at 32768 takes minutes to compile on CPU —
-    the transform itself is exercised at 32768 below)."""
+def test_large_block_backend_end_to_end_bs8192(rng):
+    """Full pipeline through the large-block transform backend (block
+    sizes above matmul_max_n route to ulcx.ops.dct.dct4_fact — the
+    two-stage matmul factorization). VBR keeps this single-pass; 8192
+    bounds the CPU suite's compile time (the 16-branch window switch
+    at 32768 takes minutes to compile on CPU — the transform itself is
+    exercised at 32768 below)."""
     cfg = CodecConfig(rate_hz=48000, n_chan=1, block_size=8192)
-    assert not cfg.use_matmul(cfg.block_size)
+    assert cfg.transform_for(cfg.block_size) == "fact"
     assert _roundtrip_vbr(cfg, rng, t=4, quality=60.0) > 5.0
 
 

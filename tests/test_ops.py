@@ -4,7 +4,14 @@ import numpy as np
 import jax.numpy as jnp
 
 from ulcx.ops import dct4, dst4, fast_log
-from ulcx.ops.dct import dct4_fft, dst4_fft, dct4_matmul, dst4_matmul
+from ulcx.ops.dct import (
+    dct4_fact,
+    dct4_fft,
+    dct4_matmul,
+    dst4_fact,
+    dst4_fft,
+    dst4_matmul,
+)
 from ulcx.ops.quant import (
     companded_quantize,
     companded_quantize_coef,
@@ -33,9 +40,11 @@ def test_dct4_backends_match_direct(rng):
         ref = direct_dct4(x)
         got_mm = np.asarray(dct4_matmul(jnp.asarray(x, jnp.float32)))
         got_fft = np.asarray(dct4_fft(jnp.asarray(x, jnp.float32)))
+        got_fac = np.asarray(dct4_fact(jnp.asarray(x, jnp.float32)))
         scale = np.abs(ref).max()
         assert np.abs(got_mm - ref).max() / scale < 2e-5, n
         assert np.abs(got_fft - ref).max() / scale < 2e-5, n
+        assert np.abs(got_fac - ref).max() / scale < 2e-5, n
 
 
 def test_dst4_backends_match_direct(rng):
@@ -44,9 +53,26 @@ def test_dst4_backends_match_direct(rng):
         ref = direct_dst4(x)
         got_mm = np.asarray(dst4_matmul(jnp.asarray(x, jnp.float32)))
         got_fft = np.asarray(dst4_fft(jnp.asarray(x, jnp.float32)))
+        got_fac = np.asarray(dst4_fact(jnp.asarray(x, jnp.float32)))
         scale = np.abs(ref).max()
         assert np.abs(got_mm - ref).max() / scale < 2e-5, n
         assert np.abs(got_fft - ref).max() / scale < 2e-5, n
+        assert np.abs(got_fac - ref).max() / scale < 2e-5, n
+
+
+def test_dct4_fact_large_n(rng):
+    """Factorized backend at the sizes it actually serves in "auto"
+    mode (above matmul_max_n): relative error well below the codec's
+    3-bit companded quantization."""
+    for n in (4096, 8192):
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        ref = np.asarray(dct4_matmul(jnp.asarray(x)))
+        got = np.asarray(dct4_fact(jnp.asarray(x)))
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 2e-5, n
+        refs = np.asarray(dst4_matmul(jnp.asarray(x)))
+        gots = np.asarray(dst4_fact(jnp.asarray(x)))
+        assert np.abs(gots - refs).max() / np.abs(refs).max() < 2e-5, n
 
 
 def numpy_fastlog(x):

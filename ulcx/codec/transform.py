@@ -37,7 +37,7 @@ from ulcx.ops.mdct import (
     mdst_fold,
     rise_window,
 )
-from ulcx.ops.dct import dct4_matmul, dct4_fft, dst4_matmul, dst4_fft
+from ulcx.ops.dct import dct4, dst4
 from ulcx.ops.patterns import (
     PATTERN_TABLE,
     pattern_subblock_offsets,
@@ -117,14 +117,10 @@ def block_mdct_mdst(
                 frame = lax.slice_in_dim(smp, a, a + 2 * ss, axis=-1)
                 w = frame_window(ss, o_l, o_r)
                 z = frame * w
-                backend = "matmul" if cfg.use_matmul(ss) else "fft"
+                backend = cfg.transform_for(ss)
                 norm = jnp.float32(2.0 / ss)
-                if backend == "matmul":
-                    mdct_parts.append(-dct4_matmul(mdct_fold(z)) * norm)
-                    mdst_parts.append(-dst4_matmul(mdst_fold(z)) * norm)
-                else:
-                    mdct_parts.append(-dct4_fft(mdct_fold(z)) * norm)
-                    mdst_parts.append(-dst4_fft(mdst_fold(z)) * norm)
+                mdct_parts.append(-dct4(mdct_fold(z), backend) * norm)
+                mdst_parts.append(-dst4(mdst_fold(z), backend) * norm)
             return (
                 jnp.concatenate(mdct_parts, axis=-1),
                 jnp.concatenate(mdst_parts, axis=-1),
@@ -188,8 +184,7 @@ def block_imdct(
             v_last = None
             for s, (ss, off) in enumerate(zip(sizes, offsets)):
                 x = lax.slice_in_dim(cf, off, off + ss, axis=-1)
-                backend = "matmul" if cfg.use_matmul(ss) else "fft"
-                v = dct4_matmul(x) if backend == "matmul" else dct4_fft(x)
+                v = dct4(x, cfg.transform_for(ss))
                 a = h + off - ss // 2
                 if s + 1 < len(sizes):
                     y = imdct_expand(v)

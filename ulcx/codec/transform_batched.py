@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ulcx.ops.dct import dct4_matmul, dct4_fft, dst4_matmul, dst4_fft
+from ulcx.ops.dct import dct4, dst4
 from ulcx.ops.mdct import imdct_expand, mdct_fold, mdst_fold
 from ulcx.ops.patterns import (
     pattern_subblock_offsets,
@@ -213,12 +213,9 @@ def block_mdct_mdst_batched(samples, window_ctrl, prev_last_ss, next_overlap, cf
         win = jnp.concatenate([wl, wr], axis=-1)  # [B, npos, 2ss]
         z = frames * win[:, None]
         norm = jnp.float32(2.0 / ss)
-        if cfg.use_matmul(ss):
-            mc = -dct4_matmul(mdct_fold(z)) * norm
-            ms = -dst4_matmul(mdst_fold(z)) * norm
-        else:
-            mc = -dct4_fft(mdct_fold(z)) * norm
-            ms = -dst4_fft(mdst_fold(z)) * norm
+        be = cfg.transform_for(ss)
+        mc = -dct4(mdct_fold(z), be) * norm
+        ms = -dst4(mdst_fold(z), be) * norm
         outs_c.append(mc.reshape(b, c, n))
         outs_s.append(ms.reshape(b, c, n))
         k += npos
@@ -293,7 +290,7 @@ def block_imdct_batched(coefs, window_ctrl, lap, prev_last_ss, cfg):
         ss = n >> cls
         npos = 1 << cls
         x = coefs.reshape(b, c, npos, ss)
-        v = dct4_matmul(x) if cfg.use_matmul(ss) else dct4_fft(x)
+        v = dct4(x, cfg.transform_for(ss))
         y = imdct_expand(v)  # [B, C, npos, 2ss]
         for i in range(npos):
             ki = k + i

@@ -42,15 +42,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-from ulcx.ops.dct import dct4_matmul, dct4_fft, dst4_matmul, dst4_fft
-
-
-def _dct4(x, backend):
-    return dct4_matmul(x) if backend == "matmul" else dct4_fft(x)
-
-
-def _dst4(x, backend):
-    return dst4_matmul(x) if backend == "matmul" else dst4_fft(x)
+from ulcx.ops.dct import dct4 as _dct4, dst4 as _dst4
 
 
 # ---------------------------------------------------------------------------

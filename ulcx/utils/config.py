@@ -42,9 +42,11 @@ class CodecConfig:
     use_noise_coding: bool = True
     use_window_switching: bool = True
     # Transform backend: "matmul" uses MXU cosine-matrix products (exact,
-    # fastest for block sizes <= matmul_max_n), "fft" uses an FFT-based
-    # DCT-IV (O(N log N), needed for very large blocks), "auto" picks
-    # per subblock size.
+    # fastest for block sizes <= matmul_max_n), "fact" factorizes the
+    # DCT-IV into two small matmul stages via an M=N/2 Cooley-Tukey FFT
+    # (~N^1.5 MACs, KiB-scale constants — the fast choice for large
+    # blocks), "fft" uses jnp.fft (O(N log N), kept for A/B), "auto"
+    # picks per subblock size (matmul below matmul_max_n, fact above).
     transform_backend: str = "auto"
     # 2048: the n=4096 cosine matrices alone are ~67 MB of f32 program
     # constants (x2 for DST), which overflows the remote-compile
@@ -92,7 +94,7 @@ class CodecConfig:
             raise ValueError(f"block_size must be a power of 2 in [{MIN_BANDS},{MAX_BANDS}], got {bs}")
         if self.rate_hz < 1:
             raise ValueError(f"rate_hz must be >= 1, got {self.rate_hz}")
-        if self.transform_backend not in ("auto", "matmul", "fft"):
+        if self.transform_backend not in ("auto", "matmul", "fact", "fft"):
             raise ValueError(f"bad transform_backend {self.transform_backend!r}")
         if self.rate_search not in ("ladder", "bisect"):
             raise ValueError(f"bad rate_search {self.rate_search!r}")
@@ -116,12 +118,11 @@ class CodecConfig:
             return (self.block_size,)
         return tuple(self.block_size >> s for s in range(4))
 
-    def use_matmul(self, n: int) -> bool:
-        if self.transform_backend == "matmul":
-            return True
-        if self.transform_backend == "fft":
-            return False
-        return n <= self.matmul_max_n
+    def transform_for(self, n: int) -> str:
+        """Backend name for a length-n DCT-IV/DST-IV."""
+        if self.transform_backend != "auto":
+            return self.transform_backend
+        return "matmul" if n <= self.matmul_max_n else "fact"
 
 
 def mosaic_interpret() -> bool:
