@@ -75,7 +75,12 @@ CASES = [
     ("cbr st128 bs2048 plain", dict(n=2048, c=2, mode="cbr", t=3, transients=False, rate_kbps=128.0)),
     ("vbr q50 st bs1024 trans", dict(n=1024, c=2, mode="vbr", quality=50.0)),
     ("abr st128 bs1024 trans", dict(n=1024, c=2, mode="abr", rate_kbps=128.0, avg_complexity=0.5)),
+    # bs4096 rides the factorized transform backend (auto: n > matmul_max_n)
+    ("abr st128 bs4096 trans", dict(n=4096, c=2, mode="abr", t=3, rate_kbps=128.0, avg_complexity=0.5)),
 ]
+
+if sys.argv[1:]:
+    CASES = [(nm, kw) for nm, kw in CASES if any(a in nm for a in sys.argv[1:])]
 
 for name, kw in CASES:
     sd, rms, s_u, s_o, pb = run(**kw)

@@ -60,6 +60,20 @@ def test_dst4_backends_match_direct(rng):
         assert np.abs(got_fac - ref).max() / scale < 2e-5, n
 
 
+def test_dct4_dst4_pair_fused(rng):
+    """The stacked pair core matches the separate fact transforms."""
+    from ulcx.ops.dct import dct4_dst4
+
+    xc = rng.standard_normal((2, 512)).astype(np.float32)
+    xs = rng.standard_normal((2, 512)).astype(np.float32)
+    for be in ("matmul", "fft", "fact"):
+        c, s = dct4_dst4(jnp.asarray(xc), jnp.asarray(xs), be)
+        rc = direct_dct4(xc)
+        rs = direct_dst4(xs)
+        assert np.abs(np.asarray(c) - rc).max() / np.abs(rc).max() < 2e-5, be
+        assert np.abs(np.asarray(s) - rs).max() / np.abs(rs).max() < 2e-5, be
+
+
 def test_dct4_fact_large_n(rng):
     """Factorized backend at the sizes it actually serves in "auto"
     mode (above matmul_max_n): relative error well below the codec's

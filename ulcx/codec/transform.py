@@ -37,7 +37,7 @@ from ulcx.ops.mdct import (
     mdst_fold,
     rise_window,
 )
-from ulcx.ops.dct import dct4, dst4
+from ulcx.ops.dct import dct4, dct4_dst4
 from ulcx.ops.patterns import (
     PATTERN_TABLE,
     pattern_subblock_offsets,
@@ -119,8 +119,9 @@ def block_mdct_mdst(
                 z = frame * w
                 backend = cfg.transform_for(ss)
                 norm = jnp.float32(2.0 / ss)
-                mdct_parts.append(-dct4(mdct_fold(z), backend) * norm)
-                mdst_parts.append(-dst4(mdst_fold(z), backend) * norm)
+                mc, ms = dct4_dst4(mdct_fold(z), mdst_fold(z), backend)
+                mdct_parts.append(-mc * norm)
+                mdst_parts.append(-ms * norm)
             return (
                 jnp.concatenate(mdct_parts, axis=-1),
                 jnp.concatenate(mdst_parts, axis=-1),

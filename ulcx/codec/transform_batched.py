@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ulcx.ops.dct import dct4, dst4
+from ulcx.ops.dct import dct4, dct4_dst4
 from ulcx.ops.mdct import imdct_expand, mdct_fold, mdst_fold
 from ulcx.ops.patterns import (
     pattern_subblock_offsets,
@@ -213,9 +213,9 @@ def block_mdct_mdst_batched(samples, window_ctrl, prev_last_ss, next_overlap, cf
         win = jnp.concatenate([wl, wr], axis=-1)  # [B, npos, 2ss]
         z = frames * win[:, None]
         norm = jnp.float32(2.0 / ss)
-        be = cfg.transform_for(ss)
-        mc = -dct4(mdct_fold(z), be) * norm
-        ms = -dst4(mdst_fold(z), be) * norm
+        mc, ms = dct4_dst4(mdct_fold(z), mdst_fold(z), cfg.transform_for(ss))
+        mc = -mc * norm
+        ms = -ms * norm
         outs_c.append(mc.reshape(b, c, n))
         outs_s.append(ms.reshape(b, c, n))
         k += npos

@@ -41,6 +41,8 @@ class UlcHeader:
 
     @staticmethod
     def unpack(data: bytes) -> "UlcHeader":
+        if len(data) < HEADER_SIZE:
+            raise ValueError("not a ULC2 container")
         magic, bs, mbs, nblk, rate, nch, kbps, offs = struct.unpack(
             _FMT, data[:HEADER_SIZE]
         )

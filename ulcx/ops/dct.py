@@ -227,8 +227,30 @@ def dst4_fact(x: jnp.ndarray) -> jnp.ndarray:
     return _interleave(tr, ti[..., ::-1])
 
 
+def dct4_dst4_fact(x_c: jnp.ndarray, x_s: jnp.ndarray):
+    """dct4(x_c) and dst4(x_s) through ONE stacked factorized core.
+
+    Per-fused-kernel launch cost is the dominant fixed cost on this
+    backend (NOTES.md); stacking keeps the fact path at the same
+    launch count as the dense pair (two matmul stages total)."""
+    tr, ti = _fact_core(jnp.stack([x_c, x_s[..., ::-1]], axis=0))
+    return (
+        _interleave(tr[0], (-ti[0])[..., ::-1]),
+        _interleave(tr[1], ti[1][..., ::-1]),
+    )
+
+
 _DCT4 = {"matmul": dct4_matmul, "fft": dct4_fft, "fact": dct4_fact}
 _DST4 = {"matmul": dst4_matmul, "fft": dst4_fft, "fact": dst4_fact}
+
+
+def dct4_dst4(x_c: jnp.ndarray, x_s: jnp.ndarray, backend: str = "matmul"):
+    """(dct4(x_c), dst4(x_s)) — pair-fused where the backend allows."""
+    if backend == "fact":
+        return dct4_dst4_fact(x_c, x_s)
+    if backend == "fft":
+        return dct4_dst4_fft(x_c, x_s)
+    return dct4_matmul(x_c), dst4_matmul(x_s)
 
 
 def dct4(x: jnp.ndarray, backend: str = "matmul") -> jnp.ndarray:

@@ -42,7 +42,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-from ulcx.ops.dct import dct4 as _dct4, dst4 as _dst4
+from ulcx.ops.dct import dct4 as _dct4, dct4_dst4 as _dct4_dst4
 
 
 # ---------------------------------------------------------------------------
@@ -112,9 +112,8 @@ def mdct_mdst_frame(frame: jnp.ndarray, o_left, o_right, backend: str = "matmul"
     w = frame_window(s, o_left, o_right)
     z = frame * w
     norm = jnp.float32(2.0 / s)
-    mdct = -_dct4(mdct_fold(z), backend) * norm
-    mdst = -_dst4(mdst_fold(z), backend) * norm
-    return mdct, mdst
+    mc, ms = _dct4_dst4(mdct_fold(z), mdst_fold(z), backend)
+    return -mc * norm, -ms * norm
 
 
 def mdct_frame(frame: jnp.ndarray, o_left, o_right, backend: str = "matmul"):
