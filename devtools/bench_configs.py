@@ -57,7 +57,13 @@ def main():
     results = {}
     for name in want:
         c, n, t, mode, kw = configs[name]
-        cfg = CodecConfig(rate_hz=44100, n_chan=c, block_size=n)
+        cfg = CodecConfig(
+            rate_hz=44100,
+            n_chan=c,
+            block_size=n,
+            transform_backend=os.environ.get("ULCX_BENCH_TBACKEND", "auto"),
+            matmul_max_n=int(os.environ.get("ULCX_BENCH_MAXN", "2048")),
+        )
         corpus = make_corpus(b, t, n)
         if c == 1:
             corpus = corpus[:, :, :1]
@@ -99,6 +105,14 @@ def main():
         print(json.dumps(rec), flush=True)
         del blocks, out, digest, fn
 
+    # A/B probe runs (non-default transform knobs) print only — the
+    # committed aggregate records the default ("auto") configuration.
+    if (
+        os.environ.get("ULCX_BENCH_TBACKEND", "auto") != "auto"
+        or os.environ.get("ULCX_BENCH_MAXN", "2048") != "2048"
+    ):
+        print("non-default transform knobs: skipping bench_configs.json write")
+        return
     path = os.path.join(ROOT, "bench_configs.json")
     old = {}
     if os.path.exists(path):
