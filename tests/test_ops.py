@@ -141,3 +141,42 @@ def test_expand_quantizer():
     got = np.asarray(expand_quantizer(qi))
     want = 2.0 ** -(5.0 + np.arange(27))
     assert np.allclose(got, want, rtol=0, atol=0)
+
+
+def test_ema_matmul_chunked_matches_sequential(rng):
+    """Chunked two-stage EMA (scanutil.ema_matmul_chunked) is the exact
+    recurrence x[n] = r*x[n-1] + (1-r)*v[n] split at chunk boundaries;
+    it must match a sequential loop and the associative-scan form to
+    f32 association tolerance (it replaces them for block_size > 2048
+    in window_control._transient_filtering)."""
+    import jax.numpy as jnp
+
+    from ulcx.ops.scanutil import ema, ema_matmul_chunked
+
+    def seq(v, r, init, reverse):
+        v = v[..., ::-1] if reverse else v
+        out = np.zeros_like(v)
+        x = init.astype(np.float64).copy()
+        for m in range(v.shape[-1]):
+            x = r * x + (1 - r) * v[..., m]
+            out[..., m] = x
+        return out[..., ::-1] if reverse else out
+
+    for n, chunk in [(4096, 1024), (8192, 2048)]:
+        v = (rng.standard_normal((2, n)) ** 2).astype(np.float32)
+        init = rng.uniform(0.0, 2.0, (2,)).astype(np.float32)
+        for rate in [float(np.exp(-115.0 / 44100.0)), 0.999, 0.5]:
+            for reverse in [False, True]:
+                want = seq(v, rate, init, reverse)
+                got = np.asarray(
+                    ema_matmul_chunked(
+                        jnp.asarray(v), rate, jnp.asarray(init),
+                        reverse=reverse, chunk=chunk,
+                    )
+                )
+                scan = np.asarray(
+                    ema(jnp.asarray(v), rate, jnp.asarray(init), reverse=reverse)
+                )
+                scale = np.abs(want).max()
+                assert np.abs(got - want).max() / scale < 3e-5, (n, rate, reverse)
+                assert np.abs(got - scan).max() / scale < 3e-5, (n, rate, reverse)

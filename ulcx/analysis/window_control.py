@@ -26,12 +26,13 @@ reference's hex-float literals exactly via ``float.fromhex``.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import NamedTuple
 
 import numpy as np
 import jax.numpy as jnp
 
-from ulcx.ops.scanutil import ema, ema_matmul
+from ulcx.ops.scanutil import ema, ema_matmul, ema_matmul_chunked
 from ulcx.utils.config import CodecConfig
 
 _RATE_HP_FWD = float.fromhex("0x1.CC845Cp6")   # -1.0 dB/ms
@@ -75,10 +76,14 @@ def _transient_filtering(samples: jnp.ndarray, st: TransientState, cfg: CodecCon
     # forward smear (amplitude domain). The Toeplitz-matmul EMA needs an
     # [N, N] kernel constant (~67 MB of f32 at N=4096, several of them)
     # which overflows the tunneled backend's compile payload limit, so
-    # large blocks use the associative-scan form instead (same
-    # recurrence, O(eps) association difference).
-    do_mm = n <= 2048
-    ema_f = ema_matmul if do_mm else ema
+    # large blocks use the chunked two-stage matmul form instead: exact
+    # per-chunk [K, K] Toeplitz + a tiny cross-chunk carry closure
+    # (scanutil.ema_matmul_chunked) — N*K MACs instead of N^2 and KiB
+    # constants, same recurrence up to float association.
+    if n <= 2048:
+        ema_f = ema_matmul
+    else:
+        ema_f = partial(ema_matmul_chunked, chunk=1024)
 
     r_hp = math.exp(-_RATE_HP_FWD / rate_hz)
     r_bp = math.exp(-_RATE_BP_FWD / rate_hz)
