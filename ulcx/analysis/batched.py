@@ -25,6 +25,7 @@ from ulcx.codec.transform_batched import (
     candidate_tables,
 )
 from ulcx.ops.fastlog import fast_log
+from ulcx.ops.sortk import ranks_batched
 from ulcx.utils.config import COEF_EPS, CodecConfig
 
 
@@ -35,7 +36,9 @@ def _inverse_perm(order):
     is a permutation, packing (order << bits | iota) and sorting the
     single int recovers the inverse in the low bits — exactly equal,
     ~half the sort traffic (sorts are the cheap primitive on this
-    backend, but operand count still scales their cost)."""
+    backend, but operand count still scales their cost). On kernel-
+    eligible shapes both sorts run fused in VMEM instead (ops/sortk.py
+    — rank dispatch in ranks_batched)."""
     p = order.shape[-1]
     bits = int(p - 1).bit_length()
     iota = jnp.arange(p, dtype=order.dtype)
@@ -136,9 +139,9 @@ def _analyze_core(samples, window_ctrl, prev_last_ss, next_ov, cfg: CodecConfig)
     ).astype(jnp.int32)
 
     flat = importance.reshape(f, -1)
-    order = jnp.argsort(-flat, axis=-1)
-    # inverse permutation by one packed 1-operand sort (see _inverse_perm)
-    rank = _inverse_perm(order)
+    # stable descending rank: in-VMEM fused kernel on eligible shapes,
+    # else argsort + packed inverse sort (ops/sortk.py; bit-identical)
+    rank = ranks_batched(flat, cfg)
     rank = rank.reshape(importance.shape).astype(jnp.int32)
 
     return AnalyzedBlock(
@@ -260,9 +263,9 @@ def analyze_block_batched(carry: EncoderCarry, new_blocks: jnp.ndarray, cfg: Cod
     ).astype(jnp.int32)
 
     flat = importance.reshape(b, -1)
-    order = jnp.argsort(-flat, axis=-1)
-    # inverse permutation by one packed 1-operand sort (see _inverse_perm)
-    rank = _inverse_perm(order)
+    # stable descending rank: in-VMEM fused kernel on eligible shapes,
+    # else argsort + packed inverse sort (ops/sortk.py; bit-identical)
+    rank = ranks_batched(flat, cfg)
     rank = rank.reshape(importance.shape).astype(jnp.int32)
 
     new_carry = EncoderCarry(

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -798,7 +800,8 @@ def _assemble(fb: FastBlockData, packed, t_pos, t_nyb, t_valid, max_bytes: int):
     return size_bits, by
 
 
-def _assemble_v3_lanes(word, widx, freg, fwc, max_bytes: int):
+def _assemble_v3_lanes(word, widx, freg, fwc, max_bytes: int,
+                       interpret=False):
     """Compact in-kernel-packed stream words into byte streams, in
     kernel lane layout: word/widx [G, P, LAN] (the emitted u32 word at
     each position; index 2**30 where no word completed), freg/fwc
@@ -816,7 +819,23 @@ def _assemble_v3_lanes(word, widx, freg, fwc, max_bytes: int):
     deleted, and only the n_words = P/4 prefix is transposed after."""
     g, p_tot, lan = word.shape
     n_words = (2 * max_bytes) // 8
-    _, sval = lax.sort((widx, word), dimension=1, num_keys=1)
+    from ulcx.ops import sortk
+
+    if (
+        not interpret
+        and sortk.sortable(p_tot, lan)
+        and os.environ.get("ULCX_SORTK", "0") == "1"
+    ):
+        # in-VMEM bitonic form of the same compaction sort: one HBM
+        # read+write instead of a per-stage round trip (ops/sortk.py).
+        # Tie order among the masked sentinel entries differs from
+        # lax.sort's but every such slot is discarded by the iota<wc
+        # select below; valid keys 0..fwc-1 are distinct. Gated off in
+        # interpret mode (the eager 78-substage network is minutes-slow
+        # on CPU; sortk has its own direct equality tests).
+        sval = sortk.sort_kv_lanes(widx, word, interpret)
+    else:
+        _, sval = lax.sort((widx, word), dimension=1, num_keys=1)
     iota = jnp.arange(n_words, dtype=jnp.int32)[None, :, None]
     wc = fwc[:, None, :]
     words = jnp.where(
@@ -862,7 +881,7 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
             by = _assemble_v3_lanes(
                 word_t.reshape(g, p_tot, pe3.LAN),
                 widx_t.reshape(g, p_tot, pe3.LAN),
-                freg_l[:, 0, :], fwc_l[:, 0, :], max_bytes,
+                freg_l[:, 0, :], fwc_l[:, 0, :], max_bytes, interpret,
             )
             return size_bits, by
         bits_l, word_l, widx_l, freg_l, fwc_l = _v3_call_l(
@@ -871,7 +890,7 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
         size_bits = (4 * (bits_l[:, 0, :].reshape(b) + fb.n_header) + 7) & ~7
         by = _assemble_v3_lanes(
             word_l[:, :, 0, :], widx_l[:, :, 0, :], freg_l[:, 0, :],
-            fwc_l[:, 0, :], max_bytes,
+            fwc_l[:, 0, :], max_bytes, interpret,
         )
         return size_bits, by
     bits, slotpq, slotlc, nyb = kernel_sizes(fb, noutk, cfg, True, interpret)
@@ -968,12 +987,12 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
             by = _assemble_v3_lanes(
                 word_t.reshape(g, p_tot, pe3.LAN),
                 widx_t.reshape(g, p_tot, pe3.LAN),
-                sel_l(freg_t), sel_l(fwc_t), max_bytes,
+                sel_l(freg_t), sel_l(fwc_t), max_bytes, interpret,
             )
             return n_out, size_bits, by
         by = _assemble_v3_lanes(
             sel_l(word_l), sel_l(widx_l), sel_l(freg_l), sel_l(fwc_l),
-            max_bytes,
+            max_bytes, interpret,
         )
         return n_out, size_bits, by
 
