@@ -1,0 +1,110 @@
+"""Hardware equality check for the in-VMEM sort kernels (ops/sortk.py).
+
+The unit tests run the network interpret=True at P=64 (XLA:CPU compiles
+the substage graph pathologically slowly at production P); this harness
+closes the remaining gap by running the COMPILED Mosaic kernels on the
+real chip at production shapes and asserting bit-equality against the
+XLA fallback paths:
+
+  - ranks_kernel [B, 4096] (whole-block form) and [B, 8192] (split
+    half-local form + XLA cross substage), on tie-heavy input laced
+    with -inf, ±0.0, duplicates, and NaNs of both signs/payloads;
+  - sort_kv_lanes [G, 4096, 128] and [G, 8192, 128] in the assemble
+    lane layout (distinct small keys + massed sentinel ties).
+
+Usage: python devtools/sortk_check.py [B]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tie_heavy(rng, b, p):
+    flat = rng.standard_normal((b, p)).astype(np.float32)
+    flat[flat < -1.2] = -np.inf
+    flat[np.abs(flat) < 0.05] = 0.0
+    flat[0, : p // 8] = flat[0, p // 8 : p // 4]
+    flat[1, 0] = -0.0
+    flat[1, 1] = 0.0
+    flat[2, 3] = np.nan
+    flat[2, 9] = -np.nan
+    flat[3, :64] = np.frombuffer(
+        np.uint32(0x7FC00001).tobytes(), dtype=np.float32
+    )[0]
+    flat[4, -64:] = np.frombuffer(
+        np.uint32(0xFFC00001).tobytes(), dtype=np.float32
+    )[0]
+    return flat
+
+
+def main():
+    sys.path.insert(0, ROOT)
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ulcx.ops.sortk import ranks_kernel, sort_kv_lanes
+
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    rng = np.random.default_rng(0xC0DEC)
+    ok = True
+
+    for p in (4096, 8192):
+        flat = _tie_heavy(rng, b, p)
+        fj = jnp.asarray(flat)
+        t0 = time.perf_counter()
+        got = np.asarray(ranks_kernel(fj, interpret=False))
+        t_kern = time.perf_counter() - t0
+        order = jnp.argsort(-fj, axis=-1)
+        bits = int(p - 1).bit_length()
+        packed = (order << bits) | jnp.arange(p, dtype=order.dtype)
+        ref = np.asarray(jnp.sort(packed, axis=-1) & ((1 << bits) - 1))
+        eq = np.array_equal(got, ref)
+        ok &= eq
+        print(
+            f"ranks_kernel [B={b}, P={p}]: "
+            f"{'EXACT' if eq else 'MISMATCH'} (first call {t_kern:.1f}s)"
+        )
+        if not eq:
+            bad = np.argwhere(got != ref)
+            print(f"  first mismatches: {bad[:8].tolist()}")
+
+    for p in (4096, 8192):
+        g, lan = max(1, b // 128), 128
+        key = rng.integers(0, p // 2, (g, p, lan)).astype(np.int32)
+        key[key > p // 3] = 2**30
+        val = rng.integers(0, 2**20, (g, p, lan)).astype(np.int32)
+        kj, vj = jnp.asarray(key), jnp.asarray(val)
+        t0 = time.perf_counter()
+        got = np.asarray(sort_kv_lanes(kj, vj, interpret=False))
+        t_kern = time.perf_counter() - t0
+        ref = np.asarray(lax.sort((kj, vj), dimension=1, num_keys=2)[1])
+        eq = np.array_equal(got, ref)
+        ok &= eq
+        print(
+            f"sort_kv_lanes [G={g}, P={p}, L={lan}]: "
+            f"{'EXACT' if eq else 'MISMATCH'} (first call {t_kern:.1f}s)"
+        )
+
+    print("sortk_check:", "OK" if ok else "FAILED")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

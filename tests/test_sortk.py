@@ -57,11 +57,17 @@ def test_split_form_exact():
     """The P > _CAP split (half-local kernels + XLA cross substage)
     must equal the fallback; exercised at CI size by shrinking the cap
     (production: P=8192, cap 4096)."""
+    import jax
+
     from ulcx.ops import sortk
 
     rng = np.random.default_rng(5)
     old = sortk._CAP
     sortk._CAP = 32
+    # ranks_kernel/sort_kv_lanes are jit-cached by shape; _CAP is read
+    # at trace time, so stale traces from other tests would silently
+    # bypass the split path if shapes ever collided.
+    jax.clear_caches()
     try:
         flat = _tie_heavy(rng, 24, 64)
         got = np.asarray(ranks_kernel(jnp.asarray(flat), interpret=True))
@@ -82,6 +88,29 @@ def test_split_form_exact():
         np.testing.assert_array_equal(got, ref)
     finally:
         sortk._CAP = old
+        jax.clear_caches()
+
+
+def test_ranks_kernel_nan_order():
+    """NaNs (any sign/payload) must rank exactly like the XLA argsort:
+    canonicalized to one key sorted after everything else, stable
+    index order among themselves (_monotone_i32 maps them to
+    INT32_MIN under the descending comparator)."""
+    rng = np.random.default_rng(13)
+    flat = _tie_heavy(rng, 8, 64)
+    flat[2, 3] = np.nan
+    flat[2, 9] = -np.nan
+    flat[3, :8] = np.frombuffer(
+        np.uint32(0x7FC00001).tobytes(), dtype=np.float32
+    )[0]
+    flat[4, 60:] = np.frombuffer(
+        np.uint32(0xFFC00001).tobytes(), dtype=np.float32
+    )[0]
+    flat[5, 0] = np.inf
+    flat[5, 1] = np.nan
+    flat[5, 2] = -np.inf
+    got = np.asarray(ranks_kernel(jnp.asarray(flat), interpret=True))
+    np.testing.assert_array_equal(got, _rank_ref(flat))
 
 
 def test_sort_kv_lanes_matches_lax():

@@ -29,23 +29,6 @@ from ulcx.ops.sortk import ranks_batched
 from ulcx.utils.config import COEF_EPS, CodecConfig
 
 
-def _inverse_perm(order):
-    """Inverse of a permutation [.., P) by ONE 1-operand sort.
-
-    argsort(order) lowers to a 2-operand (key, iota) sort; since order
-    is a permutation, packing (order << bits | iota) and sorting the
-    single int recovers the inverse in the low bits — exactly equal,
-    ~half the sort traffic (sorts are the cheap primitive on this
-    backend, but operand count still scales their cost). On kernel-
-    eligible shapes both sorts run fused in VMEM instead (ops/sortk.py
-    — rank dispatch in ranks_batched)."""
-    p = order.shape[-1]
-    bits = int(p - 1).bit_length()
-    iota = jnp.arange(p, dtype=order.dtype)
-    packed = (order << bits) | iota
-    return jnp.sort(packed, axis=-1) & ((1 << bits) - 1)
-
-
 def _psy_noise_batched(mdct, mdst, window_ctrl, cfg: CodecConfig):
     """Per-class psy/noise with per-line class selection.
 

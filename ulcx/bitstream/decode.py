@@ -334,14 +334,14 @@ def expand_records(records: Records, rng_state, p_tot: int):
     type_p = type_at[last_start]
     level_p = level_at[last_start]
     decay_p = decay_at[last_start]
-    k = (pos - last_start).astype(jnp.float32)
 
     is_draw = (type_p == REC_NOISE) | (type_p == REC_TAIL)
+    is_tail = type_p == REC_TAIL
     is_start = pos == last_start
 
     def rng_body(state, xs):
-        draw, st = xs
-        s, parity = state
+        draw, st, lvl, dcy, tail = xs
+        s, parity, mag = state
         s2 = s ^ (s << 13)
         s2 = s2 ^ (s2 >> 17)
         s2 = s2 ^ (s2 << 5)
@@ -349,18 +349,24 @@ def expand_records(records: Records, rng_state, p_tot: int):
         bit = (s_new >> 31) & jnp.uint32(1)
         parity = jnp.where(st, jnp.uint32(0), parity)
         parity = jnp.where(draw, parity ^ bit, parity)
-        return (s_new, parity), parity
+        # HF-ext tail magnitude: the reference's SEQUENTIAL f32 chain
+        # (emit p, then p *= r — ulcDecoder.c:155-186); a closed-form
+        # level*decay^k drifts ~ulp-per-step from the C output. The
+        # decay factor is always positive (r >= 1 - 255^2*2^-19), so
+        # tracking |p| with the sign applied outside is exact.
+        mag = jnp.where(st, lvl, mag)
+        out_mag = mag
+        mag = jnp.where(draw & tail, mag * dcy, mag)
+        return (s_new, parity, mag), (parity, out_mag)
 
-    (rng_out, _), parity_seq = lax.scan(
-        rng_body, (rng_state, jnp.uint32(0)), (is_draw, is_start)
+    (rng_out, _, _), (parity_seq, mag_seq) = lax.scan(
+        rng_body,
+        (rng_state, jnp.uint32(0), jnp.float32(0.0)),
+        (is_draw, is_start, level_p, decay_p, is_tail),
     )
     sign = jnp.where(parity_seq == 1, -1.0, 1.0).astype(jnp.float32)
 
-    mag = jnp.where(
-        type_p == REC_TAIL,
-        level_p * jnp.exp(k * jnp.log(jnp.maximum(decay_p, 1e-30))),
-        level_p,
-    )
+    mag = jnp.where(is_tail, mag_seq, level_p)
     coefs = jnp.where(
         type_p == REC_COEF,
         level_p,

@@ -162,10 +162,19 @@ def _monotone_i32(f):
     """f32 -> signed i32 preserving order; ±0.0 collapse to one key so
     ties (and thus stable-index order) match IEEE comparison. The -0.0
     squash runs in the int domain: ``f + 0.0f`` gets algebraically
-    simplified away by XLA, silently keeping -0.0 distinct."""
+    simplified away by XLA, silently keeping -0.0 distinct.
+
+    NaNs (any sign/payload) collapse to ONE key too: jax's argsort
+    canonicalizes every NaN to a single value sorted LAST in stable
+    index order (measured on jax 0.9.0), so under our DESCENDING rank
+    comparator NaNs must map to the minimum key. INT32_MIN is free —
+    the most negative key a real float can produce is -inf's
+    0x807fffff."""
     u = lax.bitcast_convert_type(f, jnp.int32)
+    is_nan = (u & jnp.int32(0x7FFFFFFF)) > jnp.int32(0x7F800000)
     u = jnp.where(u == jnp.int32(-(2**31)), jnp.int32(0), u)
-    return jnp.where(u < 0, jnp.bitwise_xor(~u, jnp.int32(-(2**31))), u)
+    m = jnp.where(u < 0, jnp.bitwise_xor(~u, jnp.int32(-(2**31))), u)
+    return jnp.where(is_nan, jnp.int32(-(2**31)), m)
 
 
 def _iota_block(p_local: int, l: int, halves: bool):
@@ -419,10 +428,19 @@ def ranks_batched(flat, cfg):
         os.environ.get("ULCX_SORTK", "0") == "1"
         and cfg.use_pallas != "off"
         and sortable(p, b)
+        # interpret mode runs the ~70-substage network eagerly —
+        # minutes-slow at production P; fall back to the XLA sorts
+        # (same gate shape as _assemble_v3_lanes)
+        and not mosaic_interpret()
         and (cfg.use_pallas == "on" or jax.default_backend() not in ("cpu",))
     )
     if use:
-        return ranks_kernel(flat, interpret=mosaic_interpret())
+        return ranks_kernel(flat, interpret=False)
+    # XLA fallback: rank = inverse_perm(argsort(-flat)). argsort lowers
+    # to a 2-operand (key, iota) sort; the inverse runs as ONE
+    # 1-operand sort of the packed (order << bits | iota) int — exact,
+    # ~half the sort traffic of a second argsort. This is the single
+    # canonical implementation (the kernel reproduces it bit-exactly).
     order = jnp.argsort(-flat, axis=-1)
     bits = int(p - 1).bit_length()
     iota = jnp.arange(p, dtype=order.dtype)
