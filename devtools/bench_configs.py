@@ -1,10 +1,14 @@
 """BASELINE.md benchmark-config sweep (beyond the headline bench.py
-config): mono 96kbps CBR, VBR q50, ABR at block sizes 1024/2048/4096.
+config): mono 96kbps CBR, VBR q50, ABR at block sizes 1024/2048/4096 —
+encode AND batched decode RTF per config, plus the PCM8/16/24/FLOAT32
+output-conversion cost (BASELINE.md config 5; the reference decode tool
+prints a realtime factor incl. conversion, ulcDecodeTool.c:140-150).
 
-Writes one JSON line per config to stdout and the aggregate to
+Writes one JSON line per metric to stdout and the aggregate to
 bench_configs.json at the repo root (committed as perf evidence).
 
 Usage: python devtools/bench_configs.py [name ...]
+Env: ULCX_BENCH_B (streams), ULCX_BENCH_SKIP_DECODE=1 (encode only).
 """
 
 from __future__ import annotations
@@ -106,6 +110,74 @@ def main():
         }
         results[name] = rec
         print(json.dumps(rec), flush=True)
+
+        if os.environ.get("ULCX_BENCH_SKIP_DECODE", "0") != "1":
+            from ulcx.parallel.mesh import batch_decode
+
+            sizes = np.asarray(out.size_bits)
+            datas = np.asarray(out.data)
+            win = -(-int(sizes.max() // 8) // 64) * 64 + 64
+            streams = np.zeros((b, t * win + win + 64), np.uint8)
+            for i in range(b):
+                offs = 0
+                for j in range(t):
+                    nb = int(sizes[i, j]) // 8
+                    streams[i, offs : offs + nb] = datas[i, j, :nb]
+                    offs += nb
+            sj = jnp.asarray(streams)
+
+            def dec_step(s):
+                pcm, bits, corrupt = batch_decode(s, t, win, cfg)
+                digest = (
+                    jnp.sum(pcm, axis=(1, 2, 3)) + bits.sum() + corrupt.sum()
+                )
+                return pcm, corrupt, digest
+
+            dfn = jax.jit(dec_step)
+            t0 = time.perf_counter()
+            pcm, corrupt, ddig = dfn(sj)
+            np.asarray(ddig)
+            dcompile_s = time.perf_counter() - t0
+            assert not np.asarray(corrupt).any(), name
+            best_d = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                pcm, corrupt, ddig = dfn(sj)
+                np.asarray(ddig)
+                best_d = min(best_d, time.perf_counter() - t0)
+            drec = {
+                "metric": f"decode_rtf_{name}",
+                "value": round(audio_seconds / best_d, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(audio_seconds / best_d / 2000.0, 4),
+                "compile_s": round(dcompile_s, 1),
+            }
+            results[f"decode_{name}"] = drec
+            print(json.dumps(drec), flush=True)
+
+            if name == "stereo_cbr128_bs2048":
+                # PCM output-conversion leg (host side, like the tools):
+                # decoded float -> PCM8/16/24/FLOAT32 bytes
+                from ulcx.io.wavio import float_to_raw
+
+                x = np.asarray(pcm).transpose(0, 1, 3, 2).reshape(-1)
+                for fmt, bits_o, tag in (
+                    ("PCM8", 8, 1), ("PCM16", 16, 1),
+                    ("PCM24", 24, 1), ("FLOAT32", 32, 3),
+                ):
+                    best_c = float("inf")
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        float_to_raw(x, bits_o, tag)
+                        best_c = min(best_c, time.perf_counter() - t0)
+                    crec = {
+                        "metric": f"decode_convert_{fmt.lower()}",
+                        "value": round(audio_seconds / best_c, 2),
+                        "unit": "x_realtime_host",
+                    }
+                    results[f"convert_{fmt.lower()}"] = crec
+                    print(json.dumps(crec), flush=True)
+            del pcm, corrupt, ddig, dfn, sj
         del blocks, out, digest, fn
 
     # A/B probe runs (non-default transform knobs) print only — the

@@ -1,15 +1,19 @@
-"""P=8192 kernel-path validation on hardware: stereo bs4096 (default)
-or mono bs8192 (argv[1] = "mono8192"), B=128.
+"""Large-P kernel-path validation on hardware, B=128:
+stereo bs4096 / P=8192 (default), mono bs8192 / P=8192 ("mono8192"),
+stereo bs8192 / P=16384 ("stereo8192"), mono bs16384 / P=16384
+("mono16384").
 
-The v3 kernel path's packed fields hold exactly P=8192 (rank 13 bits =
-0..8191, segdelta 14 bits — a segment LENGTH, so a full-block bs8192
-segment needs the 14th bit — ncp 14 bits); this checks byte-level
-agreement with the scan path on real shapes — sizes for a candidate
-ladder and materialized bytes for chosen counts — running the kernel on
-the default (TPU) backend and the scan oracle on the CPU backend in the
-same process.
+The v3 kernel's packed fields hold the full P<=16384 envelope (rank 14
+bits = 0..16383, segdelta 15 bits — a segment LENGTH, so a full-block
+bs16384 segment needs the 15th bit — ncp 15 bits); this checks
+byte-level agreement with the scan path on real shapes — sizes for a
+candidate ladder and materialized bytes for chosen counts — running the
+kernel on the default (TPU) backend and the scan oracle on the CPU
+backend in the same process. The decode leg rides the production
+dispatcher (kernel FSM at P <= 8192, scan decoder beyond — the decode
+FSM carry packs pos in 14 bits).
 
-Usage: python devtools/p8192_check.py [mono8192]
+Usage: python devtools/p8192_check.py [mono8192|stereo8192|mono16384]
 """
 
 from __future__ import annotations
@@ -45,8 +49,13 @@ def main():
     import test_encode_pass as tep
 
     n, c, b = 4096, 2, 128
-    if len(sys.argv) > 1 and sys.argv[1] == "mono8192":
+    mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    if mode == "mono8192":
         n, c = 8192, 1
+    elif mode == "stereo8192":
+        n, c = 8192, 2
+    elif mode == "mono16384":
+        n, c = 16384, 1
     tep.N, tep.C = n, c  # synth_block reads module globals
     tep.CFG = CodecConfig(rate_hz=44100, n_chan=c, block_size=n)
     cfg = tep.CFG
@@ -62,7 +71,7 @@ def main():
 
     fb = jax.jit(lambda bt: prepare_fast(bt, cfg))(batched)
     nout = jnp.broadcast_to(
-        (jnp.arange(8) * 512 + 64)[None, :], (b, 8)
+        (jnp.arange(8) * (c * n // 16) + 64)[None, :], (b, 8)
     ).astype(jnp.int32)
     got = np.asarray(jax.jit(lambda f, nn: total_sizes(f, nn, cfg))(fb, nout))
 
@@ -95,9 +104,11 @@ def main():
             ok += 1
     print(f"materialize: {ok} streams byte-equal")
 
-    # decode leg: the FSM kernel's 14-bit pos carry at P=8192 (stereo
-    # bs4096) vs the scan decoder on CPU, same streams
-    from ulcx.codec.decoder import decode_stream, decode_stream_batched
+    # decode leg: the production dispatcher (FSM kernel at P <= 8192 —
+    # its carry packs pos in 14 bits — scan decoder beyond) vs the
+    # scan decoder on CPU, same streams
+    from ulcx.codec.decoder import decode_stream
+    from ulcx.parallel.mesh import batch_decode
 
     win = 2 * c * n
     streams = np.zeros((b, win + 64), np.uint8)
@@ -106,7 +117,7 @@ def main():
         streams[i, :nb] = bys[i, :nb]
     sj = jnp.asarray(streams)
     pcm_k, bits_k, cor_k = jax.jit(
-        lambda s: decode_stream_batched(s, 1, win, cfg)
+        lambda s: batch_decode(s, 1, win, cfg)
     )(sj)
     pcm_k = np.asarray(pcm_k)
     assert not np.asarray(cor_k).any(), "kernel decode flagged corrupt"

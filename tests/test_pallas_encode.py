@@ -35,21 +35,23 @@ def _batched_blocks(rng, wcs):
 
 
 def test_kernel_sizes_match_scan(rng):
+    """B=8 batch rides the kernel via the 128-lane padding path."""
     wcs = [0x10, 0x10, 0x28, 0x59, 0xFB, 0x10, 0x3A, 0x6C]
     batched, bds, _ = _batched_blocks(rng, wcs)
     fb = prepare_fast(batched, CFG)
     size_scan = jax.jit(lambda bd, k: encode_pass_size(bd, k, "segment"))
 
     nouts = np.stack(
-        [np.linspace(5, 2 * N - 1, 16).astype(np.int32) for _ in range(B)]
+        [np.linspace(5, 2 * N - 1, 8).astype(np.int32) for _ in range(B)]
     )
     got = np.asarray(
         jax.jit(lambda f, n: total_sizes(f, n, CFG, interpret=True))(
             fb, jnp.asarray(nouts)
         )
     )
+    assert got.shape == (B, 8)  # padding sliced back off
     for i in range(B):
-        for j in range(16):
+        for j in range(8):
             want = int(size_scan(bds[i], jnp.int32(int(nouts[i, j]))))
             assert got[i, j] == want, (i, j, wcs[i], int(nouts[i, j]), got[i, j], want)
 
@@ -101,37 +103,41 @@ def test_search_materialize_fused(rng):
     assert (np.asarray(s1) <= int(N * 128.0 * 1000 / 44100) + 7).all()
 
 
-def test_kernel_v2_matches_v1(rng):
-    """64-stream sublane-packed kernels == v1 == scan path (sizes+bytes)."""
-    from ulcx.bitstream.fast_encode import kernel_sizes, materialize_fast
+def test_kernel_padding_matches_scan(rng):
+    """Non-128 batches (here 24 -> padded to 128 lanes) are byte-exact
+    vs the scan path — pad lanes parse as inert zero planes and are
+    sliced off (fast_encode._pad128 retired the narrow v1/v2 layouts)."""
+    from ulcx.bitstream.fast_encode import materialize_fast
 
-    wcs = [int(w) for w in rng.choice([0x10, 0x28, 0x59, 0xFB, 0x3A, 0x6C], 64)]
+    nb = 24
+    wcs = [int(w) for w in rng.choice([0x10, 0x28, 0x59, 0xFB, 0x3A, 0x6C], nb)]
     batched, bds, _ = _batched_blocks(rng, wcs)
     fb = prepare_fast(batched, CFG)
     nout = jnp.broadcast_to(
-        (jnp.arange(16) * 32 + 16)[None, :], (64, 16)
+        (jnp.arange(8) * 64 + 16)[None, :], (nb, 8)
     ).astype(jnp.int32)
-    # v2 triggers at b % 64 == 0; compare against scan-path sizes
     got = np.asarray(
         jax.jit(lambda f, n: total_sizes(f, n, CFG, interpret=True))(fb, nout)
     )
+    assert got.shape == (nb, 8)
     size_scan = jax.jit(lambda bd, k: encode_pass_size(bd, k, "segment"))
-    for i in range(0, 64, 11):
-        for j in range(0, 16, 5):
+    for i in range(0, nb, 5):
+        for j in range(0, 8, 3):
             want = int(size_scan(bds[i], nout[i, j]))
             assert got[i, j] == want, (i, j, wcs[i], got[i, j], want)
 
-    n_out = jnp.asarray(rng.integers(20, 2 * N - 1, 64).astype(np.int32))
+    n_out = jnp.asarray(rng.integers(20, 2 * N - 1, nb).astype(np.int32))
     sizes, bys = jax.jit(
         lambda f, n: materialize_fast(f, n, CFG, 2 * C * N, interpret=True)
     )(fb, n_out)
-    for i in range(0, 64, 15):
+    assert np.asarray(sizes).shape == (nb,)
+    for i in range(0, nb, 7):
         want_bits, want_by = jax.jit(
             lambda bd, k: encode_pass_materialize(bd, k, 2 * C * N, "segment")
         )(bds[i], n_out[i])
-        nb = int(want_bits) // 8
+        nbytes = int(want_bits) // 8
         assert int(sizes[i]) == int(want_bits), (i, wcs[i])
-        assert np.asarray(bys)[i, :nb].tobytes() == np.asarray(want_by)[:nb].tobytes()
+        assert np.asarray(bys)[i, :nbytes].tobytes() == np.asarray(want_by)[:nbytes].tobytes()
 
 
 def test_kernel_v3_matches_scan(rng):
@@ -139,7 +145,6 @@ def test_kernel_v3_matches_scan(rng):
     replication) == scan path (sizes + bytes)."""
     from ulcx.bitstream.fast_encode import (
         cand_count,
-        kernel_sizes,
         materialize_fast,
         rate_search_fast,
     )

@@ -1,14 +1,17 @@
 """Kernel-backed encode pass: batched rate search + materialization.
 
-Glue around ``ulcx.bitstream.pallas_encode``: packs per-position inputs
+Glue around ``ulcx.bitstream.pallas_encode3``: packs per-position inputs
 (ranks, segment geometry, noise decisions) into the kernel's aux word,
 prices the per-segment tail tokens inside the kernel walks, runs the
 interp-seeded candidate ladder (_bracket_search), and assembles final
 byte streams.
 
-Active when the batch is a multiple of 8 streams and P <= 4096 on a
+Active when the batch is a multiple of 8 streams and P <= 16384 on a
 TPU backend; otherwise the scan path (ulcx.bitstream.encode) is used.
-Semantics: noise_run_window="segment" (see CodecConfig).
+Batches that are not a multiple of the kernel's 128-lane width are
+padded up (the kernel rounds are latency-bound on the serial P-walk,
+so unused lanes cost nothing). Semantics: noise_run_window="segment"
+(see CodecConfig).
 """
 
 from __future__ import annotations
@@ -23,42 +26,13 @@ import jax.numpy as jnp
 from jax import lax
 
 from ulcx.analysis.block import AnalyzedBlock
-from ulcx.bitstream import pallas_encode as pe
 from ulcx.bitstream.tables import segment_tables
-from ulcx.ops.patterns import pattern_subblock_offsets, pattern_subblock_sizes
 from ulcx.utils.config import CodecConfig
 
 
 def _cq_unsigned(v):
     q = jnp.floor(jnp.float32(0.5) + jnp.sqrt(jnp.maximum(v - jnp.float32(0.25), 0.0)))
     return jnp.where(v >= 0.5, q, 0.0).astype(jnp.int32)
-
-
-@lru_cache(maxsize=32)
-def _slot_tables(block_size: int, n_chan: int):
-    """Per-pattern slot->segment maps on the N/8 grid x channels.
-
-    Returns [16, nslots] arrays: is_seg_end (slot closes a segment),
-    seg_start_pos, seg_end_pos (flat coefficient positions).
-    """
-    n = block_size
-    nslots = 8 * n_chan
-    is_end = np.zeros((16, nslots), np.int32)
-    sstart = np.zeros((16, nslots), np.int32)
-    send = np.zeros((16, nslots), np.int32)
-    slot_sz = n // 8
-    for pat in range(16):
-        pi = pat or 1
-        offs = pattern_subblock_offsets(pi, n)
-        szs = pattern_subblock_sizes(pi, n)
-        for c in range(n_chan):
-            base = c * n
-            for off, ss in zip(offs, szs):
-                end_slot = (base + off + ss) // slot_sz - 1
-                is_end[pat, end_slot] = 1
-                sstart[pat, end_slot] = base + off
-                send[pat, end_slot] = base + off + ss
-    return is_end, sstart, send
 
 
 from typing import NamedTuple
@@ -100,9 +74,10 @@ def _prep_tables(block_size: int, n_chan: int):
     grid_step = (n // 8) // 2
     starts, ends, _ = segment_tables(n, c)
     idxp = np.arange(p_tot)
-    # segdelta is a segment LENGTH (bound by block_size): 14 bits holds
-    # bs8192; rank stays 13 bits (rank <= P-1 = 8191 at the P=8192 cap)
-    segdelta = np.clip(ends - idxp, 0, 0x3FFF).astype(np.float32)
+    # segdelta is a segment LENGTH (bound by block_size): 15 bits holds
+    # a full bs16384 block; rank is 14 bits (<= P-1 = 16383 at the
+    # P=16384 envelope cap) — field map in pallas_encode3's docstring
+    segdelta = np.clip(ends - idxp, 0, 0x7FFF).astype(np.float32)
     is_start = (idxp == starts).astype(np.float32)
     end_line = (ends[:, 0::2] // 2).astype(np.int32)  # [16, L]
     end_slot = end_line // grid_step - 1  # [16, L] in [0, G)
@@ -224,8 +199,8 @@ def prepare_fast(blk: AnalyzedBlock, cfg: CodecConfig) -> FastBlockData:
     is_seg_start = jnp.matmul(oh, jnp.asarray(isstart_t), precision=hi).astype(
         jnp.int32
     )
-    rank = jnp.clip(blk.rank.reshape(b, p_tot), 0, 0x1FFF)
-    aux = rank | (segdelta << 13) | (is_seg_start << 30)
+    rank = jnp.clip(blk.rank.reshape(b, p_tot), 0, 0x3FFF)
+    aux = rank | (segdelta << 14) | (is_seg_start << 30)
 
     wc = blk.window_ctrl
     header = jnp.stack([wc & 0xF, (wc >> 4) & 0xF], axis=-1).astype(jnp.int32)
@@ -236,44 +211,40 @@ def prepare_fast(blk: AnalyzedBlock, cfg: CodecConfig) -> FastBlockData:
     )
 
 
-def _to_lanes(x, b):
-    """[B, P] -> [G, P, 128] with each stream replicated over 16 lanes."""
-    g = b // pe.N_STREAMS
-    xg = x.reshape(g, pe.N_STREAMS, -1).transpose(0, 2, 1)  # [G, P, 8]
-    return jnp.repeat(xg, pe.N_CAND, axis=-1)  # [G, P, 128]
+def _pad_b(b: int) -> int:
+    """Batch padded to the kernel's 128-lane width."""
+    from ulcx.bitstream import pallas_encode3 as pe3
+
+    return -(-b // pe3.LAN) * pe3.LAN
 
 
-def _from_lanes(x, b):
-    """[G, ..., 128] -> [B, 16, ...]."""
-    g = b // pe.N_STREAMS
-    shp = x.shape[1:-1]
-    y = x.reshape((g,) + shp + (pe.N_STREAMS, pe.N_CAND))
-    # -> [G, 8, 16, ...]
-    perm = (0, len(shp) + 1, len(shp) + 2) + tuple(range(1, len(shp) + 1))
-    y = y.transpose(perm)
-    return y.reshape((b, pe.N_CAND) + shp)
+def _pad128(fb: FastBlockData) -> FastBlockData:
+    """Zero-pad every per-stream array of fb to a 128-lane multiple.
+
+    The kernel walks are latency-bound on the serial P-length chain
+    (NOTES.md round-3 facts): vector ops over the [8, 128] lane tile
+    cost the same whether 8 or 128 lanes hold real streams, so padding
+    a small batch into the full v3 width is free — this is what
+    retired the narrow v1/v2 lane layouts. Zero planes parse as
+    rank 0 / segdelta 0 / no segment starts: the walks stay finite and
+    the outputs are sliced off."""
+    b = fb.coef.shape[0]
+    bp = _pad_b(b)
+    if bp == b:
+        return fb
+    pad = lambda x: jnp.concatenate(
+        [x, jnp.zeros((bp - b,) + x.shape[1:], x.dtype)], axis=0
+    )
+    return FastBlockData(*(pad(x) for x in fb))
 
 
-def _to_lanes2(x, b):
-    """[B, P] -> [G2, P, 8, 128]: stream = g*64 + sub*8 + lane//16."""
-    from ulcx.bitstream import pallas_encode2 as pe2
-
-    g = b // pe2.N_STREAMS
-    xg = x.reshape(g, pe2.SUB, 8, -1).transpose(0, 3, 1, 2)  # [G2, P, 8, 8]
-    return jnp.repeat(xg, pe2.N_CAND, axis=-1)
-
-
-def _from_lanes2(x, b):
-    """[G2, ..., 8, 128] -> [B, 16, ...]."""
-    from ulcx.bitstream import pallas_encode2 as pe2
-
-    g = b // pe2.N_STREAMS
-    shp = x.shape[1:-2]
-    y = x.reshape((g,) + shp + (pe2.SUB, 8, pe2.N_CAND))
-    nd = len(shp)
-    perm = (0, nd + 1, nd + 2, nd + 3) + tuple(range(1, nd + 1))
-    y = y.transpose(perm)
-    return y.reshape((b, pe2.N_CAND) + shp)
+def _pad_vec(x, b: int, fill=0):
+    bp = _pad_b(b)
+    if bp == b:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((bp - b,) + x.shape[1:], fill, x.dtype)], axis=0
+    )
 
 
 def _to_lanes3(x, b):
@@ -299,10 +270,10 @@ def _from_lanes3(x, b):
 
 
 def _use_v3(b: int, p_tot: int) -> bool:
-    """v3 dispatch predicate (must mirror kernel_sizes exactly)."""
-    from ulcx.bitstream import pallas_encode3 as pe3
-
-    return b % pe3.N_STREAMS == 0 and p_tot % 128 == 0
+    """v3 is the only kernel layout (batches pad to its 128-lane
+    width); P is always 128-aligned for pow2 block sizes >= 256, so
+    this only rejects exotic configs."""
+    return b % 8 == 0 and p_tot % 128 == 0
 
 
 def _use_thin() -> bool:
@@ -322,11 +293,10 @@ def _use_thin() -> bool:
 
 
 def cand_count(b: int, p_tot: int) -> int:
-    """Rate-search candidates per round for this batch's kernel path
-    (v3: candidates ride the 8 sublanes; v1/v2: the 16 lane groups)."""
+    """Rate-search candidates per round (the 8 v3 sublanes)."""
     from ulcx.bitstream import pallas_encode3 as pe3
 
-    return pe3.N_CAND if _use_v3(b, p_tot) else pe.N_CAND
+    return pe3.N_CAND
 
 
 class _V3Planes(NamedTuple):
@@ -463,125 +433,6 @@ def _v3_call(pl3: _V3Planes, nout, materialize=False, interpret=False):
     return (bits,)
 
 
-def kernel_sizes(fb: FastBlockData, nout, cfg: CodecConfig, materialize=False,
-                 interpret=False):
-    """v1/v2 kernel round. nout [B, 16] i32 candidate counts. Returns
-    (token_nybbles [B,16], slotpq [B,16,S], slotlc [B,16,S],
-    nyb [B,16,P]|None)."""
-    b, p_tot = fb.coef.shape
-    n_slots = 8 * cfg.n_chan
-    amp_pos = jnp.repeat(fb.amp_noise, 2, axis=-1)  # line -> position
-    if b % 64 == 0 and p_tot % 128 == 0:
-        from ulcx.bitstream import pallas_encode2 as pe2
-
-        coef_l = _to_lanes2(fb.coef, b)
-        amp_l = _to_lanes2(amp_pos, b)
-        aux_l = _to_lanes2(fb.aux.astype(jnp.int32), b)
-        nout_l = nout.reshape(b // 64, 8, 8 * pe.N_CAND)  # [G2, SUB, LAN]
-        coef_l = coef_l.transpose(0, 1, 2, 3)
-
-        def one2(no, cf, am, ax):
-            return pe2.encode_kernel_call2(
-                no, cf, am, ax, p_tot, n_slots, materialize, interpret
-            )
-
-        # vmap (NOT lax.map): group iteration folds into the Pallas
-        # grid on-device; a host-driven map costs ~2 ms per iteration
-        # on this backend
-        bits, slotpq, slotlc, nyb = jax.vmap(one2)(nout_l, coef_l, amp_l, aux_l)
-        bits = _from_lanes2(bits[:, None], b)[:, :, 0]
-        slotpq = _from_lanes2(slotpq, b)
-        slotlc = _from_lanes2(slotlc, b)
-        nyb_out = _from_lanes2(nyb, b) if materialize else None
-        return bits, slotpq, slotlc, nyb_out
-
-    coef_l = _to_lanes(fb.coef, b)
-    amp_l = _to_lanes(amp_pos, b)
-    aux_l = _to_lanes(fb.aux.astype(jnp.int32), b)
-    nout_l = nout.reshape(b // pe.N_STREAMS, pe.N_STREAMS * pe.N_CAND)
-
-    def one(no, cf, am, ax):
-        return pe.encode_kernel_call(
-            no, cf, am, ax, p_tot, n_slots, materialize, interpret
-        )
-
-    bits, slotpq, slotlc, nyb = jax.vmap(one)(nout_l, coef_l, amp_l, aux_l)
-    bits = _from_lanes(bits[:, None, :], b)[:, :, 0]
-    slotpq = _from_lanes(slotpq, b)
-    slotlc = _from_lanes(slotlc, b)
-    nyb_out = _from_lanes(nyb, b) if materialize else None
-    return bits, slotpq, slotlc, nyb_out
-
-
-def tail_info(fb: FastBlockData, slotpq, slotlc, cfg: CodecConfig):
-    """Per-(stream, cand, slot) tail token pricing.
-
-    Returns (counts [B,16] total tail nybbles, and per-slot arrays for
-    materialization: t_pos, t_cnt, t_nyb (packed u32), valid mask).
-    """
-    n, c = cfg.block_size, cfg.n_chan
-    b = fb.coef.shape[0]
-    is_end_t, sstart_t, send_t = _slot_tables(n, c)
-    pat = fb.window_ctrl >> 4
-    is_end = jnp.asarray(is_end_t)[pat][:, None, :]    # [B, 1, S]
-    sstart = jnp.asarray(sstart_t)[pat][:, None, :]
-    send = jnp.asarray(send_t)[pat][:, None, :]
-
-    pq = slotpq  # [B, 16, S]
-    lc = slotlc
-    has_coded = lc >= sstart
-    p_tail = jnp.where(has_coded, lc + 1, sstart)
-    n_tail = send - p_tail
-    pq_valid = pq >= 0
-
-    # HF-extension params at p_tail (candidate-independent fit): two
-    # small line-domain gathers ([B, 16*S] queries into [B, P/2])
-    pt_l = jnp.clip(p_tail, 0, fb.coef.shape[1] - 1) >> 1
-    kq = pt_l.shape[1] * pt_l.shape[2]
-    gat = lambda x: jnp.take_along_axis(
-        x, pt_l.reshape(b, kq), axis=-1
-    ).reshape(pt_l.shape)
-    amp_t = gat(fb.amp_lin)
-    meta_t = gat(fb.hf_meta)
-    hfok_t = (meta_t >> 8) == 1
-    dec_t = meta_t & 0xFF
-    pq_scale = jnp.exp2(jnp.clip(pq, 0, 31).astype(jnp.float32))
-    nq_hf = jnp.minimum(_cq_unsigned(amp_t * pq_scale * 4.0), 16)
-    do_hf = (
-        (is_end == 1)
-        & pq_valid
-        & (n_tail > 4)
-        & (n_tail >= 16)
-        & hfok_t
-        & (nq_hf > 0)
-    )
-    do_stop = (is_end == 1) & (n_tail > 4) & (~do_hf)
-    do_zt = (is_end == 1) & (n_tail > 0) & (n_tail <= 4)
-    t_cnt = jnp.where(
-        do_hf,
-        5,
-        jnp.where(do_stop, jnp.where(pq_valid, 3, 2), jnp.where(do_zt, 2, 0)),
-    )
-
-    # packed nybbles (low nybble first), same packing as the kernel
-    hf_p = (
-        0xF
-        | (0xF << 4)
-        | (((nq_hf - 1) & 0xF) << 8)
-        | (((dec_t >> 4) & 0xF) << 12)
-        | ((dec_t & 0xF) << 16)
-    )
-    stop_p = jnp.where(
-        pq_valid, 0xF | (0xE << 4) | (0xF << 8), 0xE | (0xF << 4)
-    )
-    zt_p = 0x0 | (jnp.clip(n_tail - 1, 0, 0xF) << 4)
-    t_nyb = jnp.where(do_hf, hf_p, jnp.where(do_stop, stop_p, zt_p))
-    t_nyb = (t_nyb & 0x0FFFFFFF) | (t_cnt << 28)
-    valid = t_cnt > 0
-    total = jnp.sum(t_cnt, axis=-1)  # [B, 16]
-    return total, p_tail, t_nyb, valid
-
-
 def _v3_sizes(pl3: _V3Planes, n_header, nout, interpret=False):
     (bits,) = _v3_call(pl3, nout, False, interpret)
     total = 4 * (bits + n_header[:, None])
@@ -591,12 +442,10 @@ def _v3_sizes(pl3: _V3Planes, n_header, nout, interpret=False):
 def total_sizes(fb: FastBlockData, nout, cfg: CodecConfig, interpret=False):
     """Byte-aligned block sizes in bits for candidates nout [B, K]."""
     b, p_tot = fb.coef.shape
-    if _use_v3(b, p_tot):
-        return _v3_sizes(_v3_planes(fb), fb.n_header, nout, interpret)
-    bits, slotpq, slotlc, _ = kernel_sizes(fb, nout, cfg, False, interpret)
-    t_total, _, _, _ = tail_info(fb, slotpq, slotlc, cfg)
-    total = 4 * (bits + t_total + fb.n_header[:, None])
-    return (total + 7) & ~7
+    fbp = _pad128(fb)
+    return _v3_sizes(
+        _v3_planes(fbp), fbp.n_header, _pad_vec(nout, b), interpret
+    )[:b]
 
 
 # --- interp-seeded ladder schedule -----------------------------------------
@@ -731,14 +580,12 @@ def rate_search_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     b = fb.coef.shape[0]
     p_tot = fb.coef.shape[1]
     k = cand_count(b, p_tot)
-    pl3 = _v3_planes(fb) if _use_v3(b, p_tot) else None
-    size_fn = (
-        (lambda nn: _v3_sizes(pl3, fb.n_header, nn, interpret))
-        if pl3 is not None
-        else (lambda nn: total_sizes(fb, nn, cfg, interpret))
-    )
+    fbp = _pad128(fb)
+    pl3 = _v3_planes(fbp)
+    size_fn = lambda nn: _v3_sizes(pl3, fbp.n_header, nn, interpret)
     rounds = max(1, int(math.ceil(math.log(p_tot, k))))
-    budget = budget.astype(jnp.int32)
+    budget = _pad_vec(budget.astype(jnp.int32), b)
+    n_nz = _pad_vec(n_nz, b)
     lo, hi = _bracket_search(size_fn, n_nz, budget, k, rounds)
     cands, cands_c, hi_c = _final_cands(lo, hi, k)
     sizes = size_fn(cands_c)
@@ -746,58 +593,7 @@ def rate_search_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     # no cands <= hi_c gate here, unlike the bracketing rounds
     feas = sizes <= budget[:, None]
     feas = feas.at[:, 0].set(True)  # lane 0 = lo, always a fallback
-    return jnp.max(jnp.where(feas, cands_c, lo[:, None]), axis=-1)
-
-
-def _assemble(fb: FastBlockData, packed, t_pos, t_nyb, t_valid, max_bytes: int):
-    """Final stream assembly from per-position packed nybble words."""
-    b, p_tot = fb.coef.shape
-    bidx = jnp.arange(b)[:, None]
-    packed = packed.at[bidx, jnp.clip(t_pos, 0, p_tot - 1)].max(
-        jnp.where(t_valid, t_nyb, 0), mode="drop"
-    )
-    counts = (packed >> 28) & 0xF
-    total_nyb = fb.n_header + jnp.sum(counts, axis=-1)
-    size_bits = (4 * total_nyb + 7) & ~7
-
-    # Pack by SORTING, not scattering: slot (p, k < count[p]) holds
-    # nybble k of position p, destined for stream-nybble offset
-    # q = offs[p] + k. Valid targets are exactly a permutation of
-    # [0, total_nybbles), so sorting the packed keys (q << 4) | nybble
-    # ascending places every nybble at its final stream index (invalid
-    # slots get a large key and sort to the tail as zero nybbles). One
-    # single-operand [B, 7P] lax.sort measures ~1.6x faster than the
-    # equivalent pair of [B, P] scatter-adds on this backend
-    # (devtools/scatter_probe.py).
-    max_nyb = 2 * max_bytes
-    n_words = max_nyb // 8
-    offs = fb.n_header[:, None] + jnp.concatenate(
-        [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(counts, axis=-1)[:, :-1]],
-        axis=-1,
-    )
-    k = jnp.arange(7, dtype=jnp.int32)
-    q = offs[:, :, None] + k                      # [B, P, 7]
-    nyb7 = (packed[:, :, None] >> (4 * k)) & 0xF
-    valid = k < counts[:, :, None]
-    key = jnp.where(valid, (q << 4) | nyb7, jnp.int32(2**30)).reshape(
-        b, 7 * p_tot
-    )
-    # header nybbles are slots too (stream offsets 0..n_header-1)
-    hidx = jnp.arange(2, dtype=jnp.int32)[None, :]
-    hkey = jnp.where(
-        hidx < fb.n_header[:, None],
-        (hidx << 4) | (fb.header & 0xF),
-        jnp.int32(2**30),
-    )
-    skey = lax.sort(jnp.concatenate([hkey, key], axis=-1), dimension=-1)
-    nyb_s = (skey & 0xF)[:, :max_nyb].reshape(b, n_words, 8)
-    sh8 = (jnp.arange(8, dtype=jnp.int32) * 4)[None, None]
-    words = jnp.sum(nyb_s << sh8, axis=-1).astype(jnp.int32)
-    # u32 words -> bytes (low nybble first matches low byte first)
-    sh = jnp.arange(4) * 8
-    by = ((words[:, :, None] >> sh[None, None, :]) & 0xFF).astype(jnp.uint8)
-    by = by.reshape(b, 4 * n_words)
-    return size_bits, by
+    return jnp.max(jnp.where(feas, cands_c, lo[:, None]), axis=-1)[:b]
 
 
 def _assemble_v3_lanes(word, widx, freg, fwc, max_bytes: int,
@@ -853,49 +649,46 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
                      interpret=False):
     """Assemble byte streams for chosen n_out [B]. Returns
     (size_bits [B], bytes [B, max_bytes])."""
-    b, p_tot = fb.coef.shape
-    k = cand_count(b, p_tot)
-    noutk = jnp.broadcast_to(n_out[:, None], (b, k))
-    if _use_v3(b, p_tot):
-        from ulcx.bitstream import pallas_encode3 as pe3
+    from ulcx.bitstream import pallas_encode3 as pe3
 
-        g = b // pe3.LAN
-        nout_l = jnp.broadcast_to(
-            n_out.astype(jnp.int32).reshape(g, 1, pe3.LAN),
-            (g, pe3.SUBC, pe3.LAN),
+    b_in = fb.coef.shape[0]
+    fb = _pad128(fb)
+    n_out = _pad_vec(n_out, b_in)
+    b, p_tot = fb.coef.shape
+    g = b // pe3.LAN
+    nout_l = jnp.broadcast_to(
+        n_out.astype(jnp.int32).reshape(g, 1, pe3.LAN),
+        (g, pe3.SUBC, pe3.LAN),
+    )
+    if _use_thin():
+        pl3 = _v3_planes(fb)
+        state = pe3.p12_call(
+            nout_l, pl3.coef_l, pl3.thr_l, pl3.aux_l, p_tot, interpret
         )
-        if _use_thin():
-            pl3 = _v3_planes(fb)
-            state = pe3.p12_call(
-                nout_l, pl3.coef_l, pl3.thr_l, pl3.aux_l, p_tot, interpret
-            )
-            bz = jnp.zeros((g, 1, pe3.LAN), jnp.int32)
-            bits_l, word_t, widx_t, freg_l, fwc_l = pe3.p3_call(
-                nout_l, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
-                pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, True,
-                interpret, thin=True, bestj=bz,
-            )
-            size_bits = (
-                4 * (bits_l[:, 0, :].reshape(b) + fb.n_header) + 7
-            ) & ~7
-            by = _assemble_v3_lanes(
-                word_t.reshape(g, p_tot, pe3.LAN),
-                widx_t.reshape(g, p_tot, pe3.LAN),
-                freg_l[:, 0, :], fwc_l[:, 0, :], max_bytes, interpret,
-            )
-            return size_bits, by
-        bits_l, word_l, widx_l, freg_l, fwc_l = _v3_call_l(
-            _v3_planes(fb), nout_l, True, interpret
+        bz = jnp.zeros((g, 1, pe3.LAN), jnp.int32)
+        bits_l, word_t, widx_t, freg_l, fwc_l = pe3.p3_call(
+            nout_l, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
+            pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, True,
+            interpret, thin=True, bestj=bz,
         )
-        size_bits = (4 * (bits_l[:, 0, :].reshape(b) + fb.n_header) + 7) & ~7
+        size_bits = (
+            4 * (bits_l[:, 0, :].reshape(b) + fb.n_header) + 7
+        ) & ~7
         by = _assemble_v3_lanes(
-            word_l[:, :, 0, :], widx_l[:, :, 0, :], freg_l[:, 0, :],
-            fwc_l[:, 0, :], max_bytes, interpret,
+            word_t.reshape(g, p_tot, pe3.LAN),
+            widx_t.reshape(g, p_tot, pe3.LAN),
+            freg_l[:, 0, :], fwc_l[:, 0, :], max_bytes, interpret,
         )
-        return size_bits, by
-    bits, slotpq, slotlc, nyb = kernel_sizes(fb, noutk, cfg, True, interpret)
-    _, t_pos, t_nyb, t_valid = tail_info(fb, slotpq, slotlc, cfg)
-    return _assemble(fb, nyb[:, 0], t_pos[:, 0], t_nyb[:, 0], t_valid[:, 0], max_bytes)
+        return size_bits[:b_in], by[:b_in]
+    bits_l, word_l, widx_l, freg_l, fwc_l = _v3_call_l(
+        _v3_planes(fb), nout_l, True, interpret
+    )
+    size_bits = (4 * (bits_l[:, 0, :].reshape(b) + fb.n_header) + 7) & ~7
+    by = _assemble_v3_lanes(
+        word_l[:, :, 0, :], widx_l[:, :, 0, :], freg_l[:, 0, :],
+        fwc_l[:, 0, :], max_bytes, interpret,
+    )
+    return size_bits[:b_in], by[:b_in]
 
 
 def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
@@ -906,131 +699,95 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     Returns (n_out [B], size_bits [B], bytes [B, max_bytes])."""
     import math
 
+    from ulcx.bitstream import pallas_encode3 as pe3
+
+    b_in = fb.coef.shape[0]
+    fb = _pad128(fb)
+    n_nz = _pad_vec(n_nz, b_in)
+    budget = _pad_vec(budget, b_in)
     b, p_tot = fb.coef.shape
     k = cand_count(b, p_tot)
     rounds = max(1, int(math.ceil(math.log(p_tot, k))))
 
-    if _use_v3(b, p_tot):
-        # the whole ladder runs in KERNEL LAYOUT ([G, cand-sublane,
-        # stream-lane]): bracket state, candidate grids, feasibility and
-        # the final select never round-trip through [B, k] — the device
-        # trace showed the per-round [G,8,128]<->[B,8] relayout copies
-        # costing more than the feasibility math itself
-        pl3 = _v3_planes(fb)
-        g = b // 128
-        bud = budget.astype(jnp.int32).reshape(g, 128)[:, None, :]
-        nh_l = fb.n_header.reshape(g, 128)[:, None, :]
-        size_fn_l = lambda nn: (
-            4 * (_v3_call_l(pl3, nn, False, interpret)[0] + nh_l) + 7
-        ) & ~7
-        lo, hi = _bracket_search(
-            size_fn_l,
-            n_nz.astype(jnp.int32).reshape(g, 128),
-            budget.astype(jnp.int32).reshape(g, 128),
-            k,
-            rounds,
-        )
-
-        # final round: adaptive-spacing candidates, fused with
-        # materialization
-        cands, cands_c, hi_c = _final_cands(lo, hi, k)
-        if _use_thin():
-            # thin final round: a size-only p3 finds the winner, then a
-            # second p3 (REUSING the phase-1/2 state for these same
-            # candidates) materializes ONE winner-selected dense plane
-            # — 8x less word/widx HBM write traffic and no [G,P,8,LAN]
-            # select stage, for the price of the extra p3-size walk.
-            from ulcx.bitstream import pallas_encode3 as pe3
-
-            state = pe3.p12_call(
-                cands_c, pl3.coef_l, pl3.thr_l, pl3.aux_l, p_tot, interpret
-            )
-            (bits_l,) = pe3.p3_call(
-                cands_c, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
-                pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, False,
-                interpret,
-            )
-            word_l = widx_l = freg_l = fwc_l = None
-        else:
-            bits_l, word_l, widx_l, freg_l, fwc_l = _v3_call_l(
-                pl3, cands_c, True, interpret
-            )
-        sizes = (4 * (bits_l + nh_l) + 7) & ~7
-        # clipped candidates equal hi_c (in-bracket): selectable
-        feas = sizes <= bud
-        feas = feas.at[:, 0, :].set(True)  # lane 0 = lo, always a fallback
-        jidx = jnp.arange(k)[None, :, None]
-        best_j = jnp.max(jnp.where(feas, jidx, 0), axis=1)  # [G, LAN]
-
-        def sel_l(x):
-            # k-way sublane select by best_j (where-chain; gathers and
-            # one-hot einsum selects both measured slower)
-            if x.ndim == 3:  # [G, k, LAN]
-                out = x[:, 0]
-                for j in range(1, k):
-                    out = jnp.where(best_j == j, x[:, j], out)
-                return out
-            out = x[:, :, 0]  # [G, P, k, LAN]
-            for j in range(1, k):
-                out = jnp.where((best_j == j)[:, None, :], x[:, :, j], out)
-            return out
-
-        n_out = sel_l(cands_c).reshape(b)
-        size_bits = sel_l(sizes).reshape(b)
-        if _use_thin():
-            _, word_t, widx_t, freg_t, fwc_t = pe3.p3_call(
-                cands_c, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
-                pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, True,
-                interpret, thin=True,
-                bestj=best_j[:, None, :].astype(jnp.int32),
-            )
-            by = _assemble_v3_lanes(
-                word_t.reshape(g, p_tot, pe3.LAN),
-                widx_t.reshape(g, p_tot, pe3.LAN),
-                sel_l(freg_t), sel_l(fwc_t), max_bytes, interpret,
-            )
-            return n_out, size_bits, by
-        by = _assemble_v3_lanes(
-            sel_l(word_l), sel_l(widx_l), sel_l(freg_l), sel_l(fwc_l),
-            max_bytes, interpret,
-        )
-        return n_out, size_bits, by
-
-    budget = budget.astype(jnp.int32)
+    # the whole ladder runs in KERNEL LAYOUT ([G, cand-sublane,
+    # stream-lane]): bracket state, candidate grids, feasibility and
+    # the final select never round-trip through [B, k] — the device
+    # trace showed the per-round [G,8,128]<->[B,8] relayout copies
+    # costing more than the feasibility math itself
+    pl3 = _v3_planes(fb)
+    g = b // 128
+    bud = budget.astype(jnp.int32).reshape(g, 128)[:, None, :]
+    nh_l = fb.n_header.reshape(g, 128)[:, None, :]
+    size_fn_l = lambda nn: (
+        4 * (_v3_call_l(pl3, nn, False, interpret)[0] + nh_l) + 7
+    ) & ~7
     lo, hi = _bracket_search(
-        lambda nn: total_sizes(fb, nn, cfg, interpret),
-        n_nz,
-        budget,
+        size_fn_l,
+        n_nz.astype(jnp.int32).reshape(g, 128),
+        budget.astype(jnp.int32).reshape(g, 128),
         k,
         rounds,
     )
 
-    # final round: adaptive-spacing candidates, fused with materialization
+    # final round: adaptive-spacing candidates, fused with
+    # materialization
     cands, cands_c, hi_c = _final_cands(lo, hi, k)
+    if _use_thin():
+        # thin final round: a size-only p3 finds the winner, then a
+        # second p3 (REUSING the phase-1/2 state for these same
+        # candidates) materializes ONE winner-selected dense plane
+        # — 8x less word/widx HBM write traffic and no [G,P,8,LAN]
+        # select stage, for the price of the extra p3-size walk.
+        state = pe3.p12_call(
+            cands_c, pl3.coef_l, pl3.thr_l, pl3.aux_l, p_tot, interpret
+        )
+        (bits_l,) = pe3.p3_call(
+            cands_c, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
+            pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, False,
+            interpret,
+        )
+        word_l = widx_l = freg_l = fwc_l = None
+    else:
+        bits_l, word_l, widx_l, freg_l, fwc_l = _v3_call_l(
+            pl3, cands_c, True, interpret
+        )
+    sizes = (4 * (bits_l + nh_l) + 7) & ~7
+    # clipped candidates equal hi_c (in-bracket): selectable
+    feas = sizes <= bud
+    feas = feas.at[:, 0, :].set(True)  # lane 0 = lo, always a fallback
+    jidx = jnp.arange(k)[None, :, None]
+    best_j = jnp.max(jnp.where(feas, jidx, 0), axis=1)  # [G, LAN]
 
-    def sel(best_j, x):
-        # k-way select (take_along_axis over the candidate axis lowers
-        # to a slow generic gather on TPU; a split-int one-hot einsum
-        # was A/B-tested and is no faster than the where-chain)
-        out = x[:, 0]
+    def sel_l(x):
+        # k-way sublane select by best_j (where-chain; gathers and
+        # one-hot einsum selects both measured slower)
+        if x.ndim == 3:  # [G, k, LAN]
+            out = x[:, 0]
+            for j in range(1, k):
+                out = jnp.where(best_j == j, x[:, j], out)
+            return out
+        out = x[:, :, 0]  # [G, P, k, LAN]
         for j in range(1, k):
-            m = (best_j == j).reshape((b,) + (1,) * (x.ndim - 2))
-            out = jnp.where(m, x[:, j], out)
+            out = jnp.where((best_j == j)[:, None, :], x[:, :, j], out)
         return out
 
-    bits, slotpq, slotlc, nyb = kernel_sizes(fb, cands_c, cfg, True, interpret)
-    t_total, t_pos, t_nyb, t_valid = tail_info(fb, slotpq, slotlc, cfg)
-    sizes = (4 * (bits + t_total + fb.n_header[:, None]) + 7) & ~7
-    # clipped candidates equal hi_c (in-bracket): selectable
-    feas = sizes <= budget[:, None]
-    feas = feas.at[:, 0].set(True)  # lane 0 = lo, always a fallback
-    jidx = jnp.arange(k)[None, :]
-    best_j = jnp.max(jnp.where(feas, jidx, 0), axis=-1)  # [B]
-    n_out = jnp.take_along_axis(cands_c, best_j[:, None], 1)[:, 0]
-
-    packed = sel(best_j, nyb)
-    size_bits, by = _assemble(
-        fb, packed, sel(best_j, t_pos), sel(best_j, t_nyb),
-        sel(best_j, t_valid), max_bytes
+    n_out = sel_l(cands_c).reshape(b)
+    size_bits = sel_l(sizes).reshape(b)
+    if _use_thin():
+        _, word_t, widx_t, freg_t, fwc_t = pe3.p3_call(
+            cands_c, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
+            pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, True,
+            interpret, thin=True,
+            bestj=best_j[:, None, :].astype(jnp.int32),
+        )
+        by = _assemble_v3_lanes(
+            word_t.reshape(g, p_tot, pe3.LAN),
+            widx_t.reshape(g, p_tot, pe3.LAN),
+            sel_l(freg_t), sel_l(fwc_t), max_bytes, interpret,
+        )
+        return n_out[:b_in], size_bits[:b_in], by[:b_in]
+    by = _assemble_v3_lanes(
+        sel_l(word_l), sel_l(widx_l), sel_l(freg_l), sel_l(fwc_l),
+        max_bytes, interpret,
     )
-    return n_out, size_bits, by
+    return n_out[:b_in], size_bits[:b_in], by[:b_in]

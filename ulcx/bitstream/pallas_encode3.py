@@ -1,20 +1,31 @@
-"""Transposed encode-pass kernels (v3): 128 streams x 8 candidates.
+"""Transposed encode-pass kernels: 128 streams x 8 candidates.
 
-v2 (pallas_encode2) replicates every per-position input across the 16
-candidate lanes (lane = subgroup x candidate), so each kernel round
-reads 16x more coef/aux/amp bytes than exist — and the rounds measure
-bandwidth-bound on exactly that traffic. v3 transposes the layout:
+The retired v1/v2 layouts replicated every per-position input across
+the 16 candidate lanes (lane = subgroup x candidate), so each kernel
+round read 16x more coef/aux/amp bytes than exist — and the rounds
+measured bandwidth-bound on exactly that traffic. v3 transposes the
+layout:
 
   lanes (128)    = distinct streams        -> inputs are [P, 1, 128],
   sublanes (8)   = rate-search candidates     read ONCE per stream and
                                               broadcast across the
                                               sublane dim for free
 
-Candidate count drops 16 -> 8, so the CBR ladder needs ceil(log8 P)
-rounds (4 for P=4096) instead of 3 — but each round moves ~6x less
-HBM traffic. State arrays stay per-(candidate, stream): [P, 8, 128].
+Candidate count is 8, so the CBR ladder needs ceil(log8 P) rounds
+(4 for P=4096) — each round is latency-bound on the serial P-walk, so
+batches smaller than 128 streams are PADDED to the full lane width by
+the fast_encode glue at zero wall-clock cost. State arrays stay
+per-(candidate, stream): [P, 8, 128].
 
-Same math as v1/v2, byte-identical results.
+Field widths (P = n_chan * block_size <= 16384, the full envelope the
+kernel serves — reference ulcEncoder.c:18-22 allows up to 255ch x
+bs32768 = 8.3M; shapes past P=16384 take the scan path):
+  aux:   rank 14 bits [0..13] (<= P-1 = 16383), segment length 15 bits
+         [14..28] (a full bs16384 block = 16384), seg-start bit 30
+  state: next-coded-pos 15 bits [0..14], quantizer 8 bits [15..22],
+         coded bit 23
+
+Byte-identical to the scan path (ulcx.bitstream.encode).
 """
 
 from __future__ import annotations
@@ -29,12 +40,30 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ulcx.bitstream.pallas_encode import _cq_unsigned, _exp2i, _BQ_A, _INV_LN2, SENT
-
 SUBC = 8       # sublanes: candidates
 LAN = 128      # lanes: streams
 N_STREAMS = 128
 N_CAND = 8
+
+SENT = np.int32(1 << 20)  # "no position" sentinel (> any p)
+
+# BuildQuantizer constants (reference ulcEncoder_Encode.c:50-87):
+# qi = clip(floor(A - log2(max*2/3)), 5, 31) with A = 5 + log2(1.5)
+_BQ_A = np.float32(float.fromhex("0x1.657006p2"))
+_INV_LN2 = np.float32(float.fromhex("0x1.715476p0"))
+
+
+def _cq_unsigned(v):
+    """Companded quantize |v| (reference ulcHelper.h:50-65)."""
+    q = jnp.floor(jnp.float32(0.5) + jnp.sqrt(jnp.maximum(v - jnp.float32(0.25), 0.0)))
+    return jnp.where(v >= 0.5, q, 0.0).astype(jnp.int32)
+
+
+def _exp2i(q):
+    """2^q as f32 for q in [0, 31] via exponent-field construction."""
+    return lax.bitcast_convert_type(
+        ((jnp.clip(q, 0, 31) + 127) << 23).astype(jnp.int32), jnp.float32
+    )
 CHUNK = int(os.environ.get("ULCX_KERNEL_CHUNK", "128"))
 _u = os.environ.get("ULCX_KERNEL_UNROLL", "full")
 UNROLL = CHUNK if _u == "full" else int(_u)
@@ -90,7 +119,7 @@ def _p1(nout_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc, *, unroll: int):
         qmin, qmax = carry
         a = jnp.abs(coef_ref[p])          # (1, LAN) -> broadcasts
         aux = aux_ref[p]
-        rank = aux & 0x1FFF
+        rank = aux & 0x3FFF
         segstart = (aux >> 30) & 1
         kept = rank < nout
         qmin = jnp.where(segstart == 1, jnp.float32(1000.0), qmin)
@@ -154,8 +183,8 @@ def _p2(nout_ref, thr_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
         lp = CHUNK - 1 - k
         p = base + lp
         aux = aux_ref[lp]
-        rank = aux & 0x1FFF
-        segdelta = (aux >> 13) & 0x3FFF
+        rank = aux & 0x3FFF
+        segdelta = (aux >> 14) & 0x7FFF
         kept = rank < nout
         s12 = s12_ref[lp]
         split_p = (s12 >> 5) & 1
@@ -168,9 +197,9 @@ def _p2(nout_ref, thr_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
         q_next = jnp.where(coded, cur_qi, q_next)
         ncp_new = jnp.where(coded, p, ncp)
         state_ref[lp] = (
-            jnp.clip(ncp_new, 0, (1 << 14) - 1)
-            | (q_next << 14)
-            | (coded.astype(jnp.int32) << 22)
+            jnp.clip(ncp_new, 0, (1 << 15) - 1)
+            | (q_next << 15)
+            | (coded.astype(jnp.int32) << 23)
         )
         nk = jnp.where(kept, p, nk)
         nk_split = jnp.where(kept, split_p, nk_split)
@@ -239,12 +268,12 @@ def _p3(nout_ref, *refs, materialize: bool, unroll: int,
             covered, prev_q, bits, tail_done = carry
         p = base + lp
         aux = aux_ref[lp]
-        segdelta = (aux >> 13) & 0x3FFF
+        segdelta = (aux >> 14) & 0x7FFF
         segstart = (aux >> 30) & 1
         srow = state_ref[lp]
-        ncp = srow & 0x3FFF
-        q_ev = (srow >> 14) & 0xFF
-        coded = (srow >> 22) & 1
+        ncp = srow & 0x7FFF
+        q_ev = (srow >> 15) & 0xFF
+        coded = (srow >> 23) & 1
 
         prev_q = jnp.where(segstart == 1, jnp.int32(-1), prev_q)
         tail_done = jnp.where(segstart == 1, jnp.int32(0), tail_done)

@@ -188,16 +188,18 @@ def _use_kernel(cfg: CodecConfig, batch: int) -> bool:
     if cfg.use_pallas == "off":
         return False
     p_tot = cfg.n_chan * cfg.block_size
-    # v1/v2 lane layouts stop at P=4096; the v3 path (batch % 128) holds
-    # P=8192: rank is a 13-bit field (0..8191 — exactly P-1), segdelta
-    # (a segment LENGTH, bound by block_size) is 14 bits (holds a
-    # full-block bs8192 segment), ncp is 14 bits, and VMEM use is
-    # CHUNK-blocked. Covers stereo bs4096 (a BASELINE.md benchmark
-    # config) and mono bs8192.
-    p_max = 8192 if (batch % 128 == 0 and p_tot % 128 == 0) else 4096
+    # One kernel family (the 128-lane v3 layout; smaller batches pad up
+    # for free — fast_encode._pad128). Envelope P <= 16384: rank is a
+    # 14-bit field (0..16383 — exactly P-1), segdelta (a segment
+    # LENGTH, bound by block_size) is 15 bits (holds a full bs16384
+    # block), ncp is 15 bits, and VMEM use is CHUNK-blocked. Covers
+    # stereo bs8192, mono bs16384, and 4ch x bs4096; larger shapes
+    # (through the reference's 255ch x bs32768 envelope,
+    # ulcEncoder.c:18-22) take the scan path.
     shape_ok = (
-        p_tot <= p_max
-        and cfg.block_size <= 8192
+        p_tot <= 16384
+        and p_tot % 128 == 0
+        and cfg.block_size <= 16384
         and batch % 8 == 0
         and cfg.noise_run_window == "segment"
     )
