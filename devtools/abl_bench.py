@@ -60,7 +60,7 @@ def main():
             return c, (
                 jnp.sum(ab.mdct),
                 jnp.sum(ab.noise),
-                jnp.sum(ab.rank),
+                jnp.sum(ab.importance),
                 jnp.sum(ab.n_nz),
             )
 

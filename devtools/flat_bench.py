@@ -65,7 +65,7 @@ def main():
     def fn_fa(x):
         carry = init_carry_batched(cfg, b)
         carry, ab = analyze_stream_batched(carry, x, cfg)
-        return (jnp.sum(ab.mdct), jnp.sum(ab.rank), jnp.sum(ab.n_nz))
+        return (jnp.sum(ab.mdct), jnp.sum(ab.importance), jnp.sum(ab.n_nz))
 
     def fn_fprep(x):
         carry = init_carry_batched(cfg, b)

@@ -126,8 +126,10 @@ def main():
             is_seg_start = jnp.matmul(
                 oh, jnp.asarray(isstart_t), precision=hi
             ).astype(jnp.int32)
-            rank = jnp.clip(blk.rank.reshape(b, p_tot), 0, 0x1FFF)
-            aux = rank | (segdelta << 13) | (is_seg_start << 30)
+            from ulcx.ops.sortk import monotone_i32
+
+            key = monotone_i32(blk.importance.reshape(b, p_tot))
+            aux = key ^ (segdelta | (is_seg_start << 16))
             amp_noise = jnp.repeat(amp_noise_l, 2, axis=-1)
             hf_meta = dec_q_l | (hf_ok_l.astype(jnp.int32) << 8)
             return carry, (

@@ -50,31 +50,14 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from ulcx.ops.sortk import ranks_kernel, sort_kv_lanes
+    from ulcx.ops.sortk import sort_kv_lanes
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     rng = np.random.default_rng(3)
 
     @jax.jit
-    def ranks_xla(flat):
-        p = flat.shape[-1]
-        order = jnp.argsort(-flat, axis=-1)
-        bits = int(p - 1).bit_length()
-        packed = (order << bits) | jnp.arange(p, dtype=order.dtype)
-        return jnp.sort(packed, axis=-1) & ((1 << bits) - 1)
-
-    @jax.jit
     def kv_xla(key, val):
         return lax.sort((key, val), dimension=1, num_keys=1)[1]
-
-    for p in (4096, 8192):
-        flat = jnp.asarray(rng.standard_normal((b, p)).astype(np.float32))
-        t_k = _time(lambda f: ranks_kernel(f, interpret=False), flat)
-        t_x = _time(ranks_xla, flat)
-        print(
-            f"rank    [B={b}, P={p}]: kernel {t_k*1e3:7.2f} ms  "
-            f"xla {t_x*1e3:7.2f} ms  ratio {t_k/t_x:.2f}x", flush=True,
-        )
 
     for p in (4096, 8192):
         g, lan = max(1, b // 128), 128

@@ -6,11 +6,13 @@ closes the remaining gap by running the COMPILED Mosaic kernels on the
 real chip at production shapes and asserting bit-equality against the
 XLA fallback paths:
 
-  - ranks_kernel [B, 4096] (whole-block form) and [B, 8192] (split
-    half-local form + XLA cross substage), on tie-heavy input laced
-    with -inf, ±0.0, duplicates, and NaNs of both signs/payloads;
   - sort_kv_lanes [G, 4096, 128] and [G, 8192, 128] in the assemble
     lane layout (distinct small keys + massed sentinel ties).
+
+(The fused rank kernel this harness also covered through round 3 is
+retired — devtools/sortk_bench.py measured it 1.15-1.24x slower than
+the XLA sorts, and the threshold-keep redesign removed rank
+materialization altogether.)
 
 Usage: python devtools/sortk_check.py [B]
 """
@@ -59,31 +61,11 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from ulcx.ops.sortk import ranks_kernel, sort_kv_lanes
+    from ulcx.ops.sortk import sort_kv_lanes
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     rng = np.random.default_rng(0xC0DEC)
     ok = True
-
-    for p in (4096, 8192):
-        flat = _tie_heavy(rng, b, p)
-        fj = jnp.asarray(flat)
-        t0 = time.perf_counter()
-        got = np.asarray(ranks_kernel(fj, interpret=False))
-        t_kern = time.perf_counter() - t0
-        order = jnp.argsort(-fj, axis=-1)
-        bits = int(p - 1).bit_length()
-        packed = (order << bits) | jnp.arange(p, dtype=order.dtype)
-        ref = np.asarray(jnp.sort(packed, axis=-1) & ((1 << bits) - 1))
-        eq = np.array_equal(got, ref)
-        ok &= eq
-        print(
-            f"ranks_kernel [B={b}, P={p}]: "
-            f"{'EXACT' if eq else 'MISMATCH'} (first call {t_kern:.1f}s)"
-        )
-        if not eq:
-            bad = np.argwhere(got != ref)
-            print(f"  first mismatches: {bad[:8].tolist()}")
 
     for p in (4096, 8192):
         g, lan = max(1, b // 128), 128

@@ -65,7 +65,7 @@ def main():
 
     def step_analysis(c, blk_t):
         c, ab = analyze_block_batched(c, blk_t, cfg)
-        return c, (jnp.sum(ab.mdct), jnp.sum(ab.rank), jnp.sum(ab.n_nz))
+        return c, (jnp.sum(ab.mdct), jnp.sum(ab.importance), jnp.sum(ab.n_nz))
 
     def step_prepare(c, blk_t):
         c, ab = analyze_block_batched(c, blk_t, cfg)

@@ -31,8 +31,14 @@ def test_analyze_block_shapes_and_ranks(rng):
         carry, out = step(carry, blk)
     assert out.mdct.shape == (2, n)
     assert out.noise.shape == (2, n)
-    r = np.asarray(out.rank).reshape(-1)
-    assert sorted(r.tolist()) == list(range(2 * n))
+    # importance must define a total keep order: stable argsort of it
+    # yields a full permutation (rank materialization moved downstream —
+    # prepare_block for the scan path, sorted thresholds for kernels)
+    imp = np.asarray(out.importance).reshape(-1)
+    assert imp.shape == (2 * n,)
+    assert not np.isnan(imp).any()
+    order = np.argsort(-imp, kind="stable")
+    assert sorted(order.tolist()) == list(range(2 * n))
     assert 0.0 <= float(out.complexity) <= 1.0
     wc = int(out.window_ctrl)
     assert 1 <= (wc >> 4) <= 15

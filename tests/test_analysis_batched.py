@@ -38,8 +38,12 @@ def test_batched_analysis_matches_per_stream(rng):
         assert np.allclose(
             np.asarray(out_b.complexity), np.asarray(out_r.complexity), atol=1e-5
         )
-        # ranks can differ on ties / 1-ulp transform differences; check
-        # the rank sets agree almost everywhere
-        rr, rb = np.asarray(out_r.rank), np.asarray(out_b.rank)
+        # importances (the keep-order keys) can differ by ~1 ulp where
+        # the transform paths differ; the derived rank order must agree
+        # almost everywhere
+        ir = np.asarray(out_r.importance).reshape(out_r.mdct.shape[0], -1)
+        ib = np.asarray(out_b.importance).reshape(ir.shape)
+        rr = np.argsort(np.argsort(-ir, axis=-1, kind="stable"), axis=-1)
+        rb = np.argsort(np.argsort(-ib, axis=-1, kind="stable"), axis=-1)
         frac = (rr != rb).mean()
         assert frac < 0.05, frac

@@ -102,3 +102,22 @@ def test_config5_batched_corpus_all_formats(tmp_path, rng):
         y = r.read_frames(r.info.n_samples)
         r.close()
         assert np.abs(y).max() > 0.05  # decoded something real
+
+
+def test_gap_window_rejects_forced_kernels():
+    """noise_run_window='gap' is scan-only; forcing the kernels with it
+    must fail loudly instead of silently falling back (VERDICT r3 §9)."""
+    import pytest
+
+    from ulcx.utils.config import CodecConfig
+
+    with pytest.raises(ValueError, match="scan-only"):
+        CodecConfig(
+            rate_hz=44100, n_chan=2, block_size=256,
+            noise_run_window="gap", use_pallas="on",
+        )
+    # auto/off remain valid combinations
+    CodecConfig(rate_hz=44100, n_chan=2, block_size=256,
+                noise_run_window="gap")
+    CodecConfig(rate_hz=44100, n_chan=2, block_size=256,
+                noise_run_window="gap", use_pallas="off")

@@ -70,44 +70,46 @@ def test_five_channels(rng):
 
 
 def test_large_p_scan_fallback(rng):
-    """P = n_chan*block_size > 16384 must route around the kernels
+    """P = n_chan*block_size > 32768 must route around the kernels
     (the reference envelope runs to 255ch x bs32768, ulcEncoder.c:18-22)."""
     from ulcx.codec.encoder import _use_kernel
 
-    cfg = CodecConfig(rate_hz=44100, n_chan=4, block_size=8192)
-    assert not _use_kernel(cfg, 8)    # P=32768 over the cap
+    cfg = CodecConfig(rate_hz=44100, n_chan=8, block_size=8192)
+    assert not _use_kernel(cfg, 8)    # P=65536 over the cap
     cfg2 = CodecConfig(rate_hz=44100, n_chan=2, block_size=4096)
     assert _roundtrip(cfg2, rng, t=4, kbps=128.0) > 5.0
 
 
-def test_kernel_gate_p16384():
-    """One kernel family holds the full P<=16384 envelope (stereo
-    bs8192, mono bs16384, 4ch bs4096): segdelta is a 15-bit segment
-    length (a full-block bs16384 segment needs it), rank 14 bits
-    (max P-1 = 16383); small batches pad to the 128-lane width. Gate +
-    field-packing bounds; byte-equality at the envelope shapes runs on
-    hardware (devtools/p8192_check.py [mono8192|stereo8192] — interpret
-    mode at P>=8192 x B=128 is too slow for CI)."""
+def test_kernel_gate_p32768():
+    """One kernel family holds the full P<=32768 BLOCK envelope (mono
+    bs32768, stereo bs16384, 8ch bs4096): segdelta is a 16-bit segment
+    length (a full-block bs32768 segment = 0x8000 needs it), state ncp
+    16 bits (sentinel 65535 > P-1), and the keep test is
+    threshold-based so no rank field bounds P; small batches pad to
+    the 128-lane width. Gate + field-packing bounds; byte-equality at
+    the envelope shapes runs on hardware (devtools/p8192_check.py
+    [mono8192|stereo8192|mono16384] — interpret mode at P>=8192 x
+    B=128 is too slow for CI)."""
     from ulcx.codec.encoder import _use_kernel
     from ulcx.bitstream.fast_encode import _prep_tables
 
-    for c, n in ((1, 8192), (2, 8192), (1, 16384), (4, 4096)):
+    for c, n in ((1, 8192), (2, 8192), (1, 16384), (2, 16384),
+                 (1, 32768), (4, 4096), (8, 4096)):
         cfg = CodecConfig(
             rate_hz=44100, n_chan=c, block_size=n, use_pallas="on"
         )
         assert _use_kernel(cfg, 128), (c, n)
         assert _use_kernel(cfg, 8), (c, n)  # pads to 128 lanes
     cfg2 = CodecConfig(
-        rate_hz=44100, n_chan=4, block_size=8192, use_pallas="on"
+        rate_hz=44100, n_chan=8, block_size=8192, use_pallas="on"
     )
-    assert not _use_kernel(cfg2, 128)  # P=32768 over the cap
+    assert not _use_kernel(cfg2, 128)  # P=65536 over the cap
 
-    segdelta, _, _, _ = _prep_tables(16384, 1)
-    assert segdelta.max() == 16384.0   # needs the 15th bit, unclipped
-    aux = np.int32(16383) | (np.int32(16384) << 14) | (np.int32(1) << 30)
-    assert aux & 0x3FFF == 16383
-    assert (aux >> 14) & 0x7FFF == 16384
-    assert (aux >> 30) & 1 == 1
+    segdelta, _, _, _ = _prep_tables(32768, 1)
+    assert segdelta.max() == 32768.0   # needs the 16th bit, unclipped
+    aux = np.int32(32768) | (np.int32(1) << 16)
+    assert aux & 0xFFFF == 32768
+    assert (aux >> 16) & 1 == 1
 
 
 def test_large_block_backend_end_to_end_bs8192(rng):

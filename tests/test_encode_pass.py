@@ -25,9 +25,13 @@ def synth_block(rng, wc, sparsity=0.5, scale=1.0):
     coef *= np.tile(env, C)
     coef[rng.random(p) < sparsity] *= 1e-4
     coef[rng.random(p) < 0.05] = 0.0
+    # importance in f32 so the rank the oracle consumes and the keys
+    # the kernel thresholds on agree bit-for-bit (ties included)
     imp = np.where(coef != 0, np.log(np.abs(coef) + 1e-30), -np.inf)
-    imp = imp + rng.normal(0, 1.0, p)
-    order = np.argsort(-imp, kind="stable")
+    imp = (imp + rng.normal(0, 1.0, p)).astype(np.float32)
+    imp[rng.random(p) < 0.02] = 0.0  # exact ties incl. ±0.0
+    imp[rng.random(p) < 0.01] = -0.0
+    order = np.argsort(-imp.astype(np.float64), kind="stable")
     rank = np.empty(p, np.int64)
     rank[order] = np.arange(p)
 
@@ -41,7 +45,7 @@ def synth_block(rng, wc, sparsity=0.5, scale=1.0):
         window_ctrl=jnp.int32(wc),
         mdct=jnp.asarray(coef.reshape(C, N)),
         noise=jnp.asarray(noise.reshape(C, N)),
-        rank=jnp.asarray(rank.reshape(C, N), dtype=jnp.int32),
+        importance=jnp.asarray(imp.reshape(C, N)),
         complexity=jnp.float32(0.5),
         n_nz=jnp.int32(int((coef != 0).sum())),
     ), coef, noise, rank

@@ -25,7 +25,6 @@ from ulcx.codec.transform_batched import (
     candidate_tables,
 )
 from ulcx.ops.fastlog import fast_log
-from ulcx.ops.sortk import ranks_batched
 from ulcx.utils.config import COEF_EPS, CodecConfig
 
 
@@ -121,17 +120,12 @@ def _analyze_core(samples, window_ctrl, prev_last_ss, next_ov, cfg: CodecConfig)
         jnp.abs(mdct) >= jnp.float32(0.5 * COEF_EPS), axis=(1, 2)
     ).astype(jnp.int32)
 
-    flat = importance.reshape(f, -1)
-    # stable descending rank: in-VMEM fused kernel on eligible shapes,
-    # else argsort + packed inverse sort (ops/sortk.py; bit-identical)
-    rank = ranks_batched(flat, cfg)
-    rank = rank.reshape(importance.shape).astype(jnp.int32)
 
     return AnalyzedBlock(
         window_ctrl=window_ctrl,
         mdct=mdct,
         noise=noise,
-        rank=rank,
+        importance=importance.astype(jnp.float32),
         complexity=complexity,
         n_nz=n_nz,
     )
@@ -245,11 +239,6 @@ def analyze_block_batched(carry: EncoderCarry, new_blocks: jnp.ndarray, cfg: Cod
         jnp.abs(mdct) >= jnp.float32(0.5 * COEF_EPS), axis=(1, 2)
     ).astype(jnp.int32)
 
-    flat = importance.reshape(b, -1)
-    # stable descending rank: in-VMEM fused kernel on eligible shapes,
-    # else argsort + packed inverse sort (ops/sortk.py; bit-identical)
-    rank = ranks_batched(flat, cfg)
-    rank = rank.reshape(importance.shape).astype(jnp.int32)
 
     new_carry = EncoderCarry(
         sample_prev=new_ms,
@@ -261,7 +250,7 @@ def analyze_block_batched(carry: EncoderCarry, new_blocks: jnp.ndarray, cfg: Cod
         window_ctrl=window_ctrl,
         mdct=mdct,
         noise=noise,
-        rank=rank,
+        importance=importance.astype(jnp.float32),
         complexity=complexity,
         n_nz=n_nz,
     )

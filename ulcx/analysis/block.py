@@ -55,7 +55,7 @@ class AnalyzedBlock(NamedTuple):
     window_ctrl: jnp.ndarray   # scalar int32 (for this coded block)
     mdct: jnp.ndarray          # [C, N] normalized coefficients
     noise: jnp.ndarray         # [C, N] interleaved {w, w*y} noise pairs
-    rank: jnp.ndarray          # [C, N] int32 importance rank (0 = best)
+    importance: jnp.ndarray    # [C, N] f32 masked importance (rank key)
     complexity: jnp.ndarray    # scalar f32
     n_nz: jnp.ndarray          # scalar int32 (codeable coefficient count)
 
@@ -170,11 +170,6 @@ def analyze_block(carry: EncoderCarry, new_block: jnp.ndarray, cfg: CodecConfig)
 
     n_nz = jnp.sum(jnp.abs(mdct) >= jnp.float32(0.5 * COEF_EPS)).astype(jnp.int32)
 
-    flat = importance.reshape(-1)
-    order = jnp.argsort(-flat)
-    rank = jnp.zeros_like(order).at[order].set(jnp.arange(flat.shape[0]))
-    rank = rank.reshape(importance.shape).astype(jnp.int32)
-
     new_carry = EncoderCarry(
         sample_prev=new_ms,
         transient=tstate,
@@ -185,7 +180,7 @@ def analyze_block(carry: EncoderCarry, new_block: jnp.ndarray, cfg: CodecConfig)
         window_ctrl=window_ctrl,
         mdct=mdct,
         noise=noise,
-        rank=rank,
+        importance=importance.astype(jnp.float32),
         complexity=complexity,
         n_nz=n_nz,
     )

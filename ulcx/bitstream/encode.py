@@ -98,6 +98,22 @@ def prepare_block(blk: AnalyzedBlock, cfg: CodecConfig) -> BlockData:
     seg_start = jnp.asarray(starts_t)[pat]
     seg_end = jnp.asarray(ends_t)[pat]
 
+    # stable descending importance rank, on demand (the kernel path
+    # never materializes ranks — it tests sorted-order thresholds
+    # instead, pallas_encode3 — so analysis stopped computing this).
+    # The inverse permutation runs as ONE 1-operand sort of the packed
+    # (order << bits | iota) int when it fits i32; huge P (the
+    # many-channel end of the reference envelope, 255ch x bs32768)
+    # falls back to a second argsort.
+    flat_imp = blk.importance.reshape(p_tot)
+    order = jnp.argsort(-flat_imp)
+    bits_r = int(p_tot - 1).bit_length()
+    if 2 * bits_r <= 31:
+        packed = (order << bits_r) | jnp.arange(p_tot, dtype=order.dtype)
+        rank = (jnp.sort(packed) & ((1 << bits_r) - 1)).astype(jnp.int32)
+    else:
+        rank = jnp.argsort(order).astype(jnp.int32)
+
     coef = blk.mdct.reshape(p_tot)
     noise = blk.noise.reshape(p_tot)
     w = noise[0::2]
@@ -114,7 +130,7 @@ def prepare_block(blk: AnalyzedBlock, cfg: CodecConfig) -> BlockData:
     return BlockData(
         coef=coef,
         absc=jnp.abs(coef),
-        rank=blk.rank.reshape(p_tot),
+        rank=rank,
         seg_start=seg_start,
         seg_end=seg_end,
         cw=psum(w),

@@ -46,7 +46,8 @@ class FastBlockData(NamedTuple):
     position>>1 — half the traffic and half the gather source size."""
 
     coef: jnp.ndarray        # [B, P] f32
-    aux: jnp.ndarray         # [B, P] i32
+    aux: jnp.ndarray         # [B, P] i32: segdelta | seg_start << 16
+    key: jnp.ndarray         # [B, P] i32 monotone importance key
     amp_noise: jnp.ndarray   # [B, L] f32 noise amplitude (line domain)
     amp_lin: jnp.ndarray     # [B, L] f32 HF-ext amplitude (line domain)
     hf_meta: jnp.ndarray     # [B, L] i32: dec_q | hf_ok << 8 (line domain)
@@ -74,10 +75,9 @@ def _prep_tables(block_size: int, n_chan: int):
     grid_step = (n // 8) // 2
     starts, ends, _ = segment_tables(n, c)
     idxp = np.arange(p_tot)
-    # segdelta is a segment LENGTH (bound by block_size): 15 bits holds
-    # a full bs16384 block; rank is 14 bits (<= P-1 = 16383 at the
-    # P=16384 envelope cap) — field map in pallas_encode3's docstring
-    segdelta = np.clip(ends - idxp, 0, 0x7FFF).astype(np.float32)
+    # segdelta is a segment LENGTH (bound by block_size): 16 bits holds
+    # a full bs32768 block — field map in pallas_encode3's docstring
+    segdelta = np.clip(ends - idxp, 0, 0xFFFF).astype(np.float32)
     is_start = (idxp == starts).astype(np.float32)
     end_line = (ends[:, 0::2] // 2).astype(np.int32)  # [16, L]
     end_slot = end_line // grid_step - 1  # [16, L] in [0, G)
@@ -199,15 +199,21 @@ def prepare_fast(blk: AnalyzedBlock, cfg: CodecConfig) -> FastBlockData:
     is_seg_start = jnp.matmul(oh, jnp.asarray(isstart_t), precision=hi).astype(
         jnp.int32
     )
-    rank = jnp.clip(blk.rank.reshape(b, p_tot), 0, 0x3FFF)
-    aux = rank | (segdelta << 14) | (is_seg_start << 30)
+    aux = segdelta | (is_seg_start << 16)
+    # monotone importance key: the kernels test keep-membership against
+    # per-candidate (t, c) thresholds fetched from ONE sorted copy of
+    # this key (pallas_encode3 module docstring) — no per-position rank
+    # (and so no inverse-permutation sort) is ever materialized
+    from ulcx.ops.sortk import monotone_i32
+
+    key = monotone_i32(blk.importance.reshape(b, p_tot))
 
     wc = blk.window_ctrl
     header = jnp.stack([wc & 0xF, (wc >> 4) & 0xF], axis=-1).astype(jnp.int32)
     n_header = jnp.where((wc & 0x8) != 0, 2, 1).astype(jnp.int32)
 
     return FastBlockData(
-        coef, aux, amp_noise_l, amp_lin_l, hf_meta, wc, header, n_header
+        coef, aux, key, amp_noise_l, amp_lin_l, hf_meta, wc, header, n_header
     )
 
 
@@ -303,11 +309,18 @@ class _V3Planes(NamedTuple):
     """Lane-transposed kernel input planes ([G, P(/2), 1, LAN] etc.).
 
     Built ONCE per encode (the [B, P] -> stream-in-lane transposes cost
-    ~2 ms each on chip); every ladder round reuses them."""
+    ~2 ms each on chip); every ladder round reuses them. skey/sidx are
+    the (importance-key desc, position asc) sorted copies every round's
+    per-candidate keep thresholds gather from — ONE 2-operand lane sort
+    per encode replaces the per-position rank (argsort + inverse-
+    permutation sort) of the retired rank scheme."""
 
     coef_l: jnp.ndarray
     thr_l: jnp.ndarray
     aux_l: jnp.ndarray
+    key_l: jnp.ndarray
+    skey: jnp.ndarray   # [G, P, LAN] keys, stable-descending per lane
+    sidx: jnp.ndarray   # [G, P, LAN] their positions
     ampn_l: jnp.ndarray
     hfa_l: jnp.ndarray
     hfm_l: jnp.ndarray
@@ -373,10 +386,22 @@ def _v3_planes(fb: FastBlockData) -> _V3Planes:
     ampn_l = _to_lanes3(fb.amp_noise, b)
     hfa_l = _to_lanes3(fb.amp_lin, b)
     hfm_l = _to_lanes3(fb.hf_meta, b)
+    key_l = _to_lanes3(fb.key, b)
+    # stable (key desc, position asc) sort, once per encode, in lane
+    # layout (a non-minor-axis sort costs the same as a last-dim sort
+    # on this backend — devtools/sort_probe.py). ~key is strictly
+    # order-reversing on i32, so an ASCENDING stable sort of ~key is
+    # exactly the descending key order with position-ascending ties.
+    kl = key_l[:, :, 0, :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, kl.shape, 1)
+    skinv, sidx = jax.lax.sort((~kl, iota), dimension=1, num_keys=1)
     return _V3Planes(
         coef_l,
         _thr_plane_l(coef_l, ampn_l, hfa_l, hfm_l),
         _to_lanes3(fb.aux.astype(jnp.int32), b),
+        key_l,
+        ~skinv,
+        sidx,
         ampn_l,
         hfa_l,
         hfm_l,
@@ -384,6 +409,21 @@ def _v3_planes(fb: FastBlockData) -> _V3Planes:
         b,
         p_tot,
     )
+
+
+def _tc_of(pl3: _V3Planes, nn):
+    """Per-candidate keep thresholds for candidate counts nn
+    [G, SUBC, LAN]: (t, c) = the nn-th entry of the sorted (key desc,
+    pos asc) order, so the kernels' `key > t | (key == t & p <= c)`
+    equals `stable-desc rank < nn` bit-exactly, ties included.
+    nn <= 0 maps to an unreachable threshold (keep nothing)."""
+    j = jnp.clip(nn - 1, 0, pl3.p_tot - 1)
+    t = jnp.take_along_axis(pl3.skey, j, axis=1)
+    c = jnp.take_along_axis(pl3.sidx, j, axis=1)
+    none = nn <= 0
+    t = jnp.where(none, jnp.int32(2**31 - 1), t)
+    c = jnp.where(none, jnp.int32(-1), c)
+    return t, c
 
 
 def _v3_call_l(pl3: _V3Planes, nout_l, materialize=False, interpret=False):
@@ -398,21 +438,22 @@ def _v3_call_l(pl3: _V3Planes, nout_l, materialize=False, interpret=False):
     # ULCX_V3_VMAP=1 restores the vmap form (A/B harness).
     import os as _os
 
+    t, c = _tc_of(pl3, nout_l)
     if _os.environ.get("ULCX_V3_VMAP", "0") == "1":
         return jax.vmap(
-            lambda no, cf, th, an, ax, ha, hm, hd: tuple(
+            lambda tt, cc, ky, cf, th, an, ax, ha, hm, hd: tuple(
                 x[0]
                 for x in pe3.encode_kernel_call3(
-                    no[None], cf[None], th[None], an[None], ax[None],
-                    ha[None], hm[None], hd[None], pl3.p_tot, materialize,
-                    interpret,
+                    tt[None], cc[None], ky[None], cf[None], th[None],
+                    an[None], ax[None], ha[None], hm[None], hd[None],
+                    pl3.p_tot, materialize, interpret,
                 )
             )
-        )(nout_l, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
+        )(t, c, pl3.key_l, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
           pl3.hfa_l, pl3.hfm_l, pl3.hdr_l)
     return pe3.encode_kernel_call3(
-        nout_l, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l, pl3.hfa_l,
-        pl3.hfm_l, pl3.hdr_l, pl3.p_tot, materialize, interpret,
+        t, c, pl3.key_l, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
+        pl3.hfa_l, pl3.hfm_l, pl3.hdr_l, pl3.p_tot, materialize, interpret,
     )
 
 
@@ -662,12 +703,14 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
     )
     if _use_thin():
         pl3 = _v3_planes(fb)
+        t, c = _tc_of(pl3, nout_l)
         state = pe3.p12_call(
-            nout_l, pl3.coef_l, pl3.thr_l, pl3.aux_l, p_tot, interpret
+            t, c, pl3.key_l, pl3.coef_l, pl3.thr_l, pl3.aux_l, p_tot,
+            interpret,
         )
         bz = jnp.zeros((g, 1, pe3.LAN), jnp.int32)
         bits_l, word_t, widx_t, freg_l, fwc_l = pe3.p3_call(
-            nout_l, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
+            pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
             pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, True,
             interpret, thin=True, bestj=bz,
         )
@@ -738,11 +781,13 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
         # candidates) materializes ONE winner-selected dense plane
         # — 8x less word/widx HBM write traffic and no [G,P,8,LAN]
         # select stage, for the price of the extra p3-size walk.
+        tt, cc = _tc_of(pl3, cands_c)
         state = pe3.p12_call(
-            cands_c, pl3.coef_l, pl3.thr_l, pl3.aux_l, p_tot, interpret
+            tt, cc, pl3.key_l, pl3.coef_l, pl3.thr_l, pl3.aux_l, p_tot,
+            interpret,
         )
         (bits_l,) = pe3.p3_call(
-            cands_c, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
+            pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
             pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, False,
             interpret,
         )
@@ -775,7 +820,7 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     size_bits = sel_l(sizes).reshape(b)
     if _use_thin():
         _, word_t, widx_t, freg_t, fwc_t = pe3.p3_call(
-            cands_c, pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
+            pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
             pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, True,
             interpret, thin=True,
             bestj=best_j[:, None, :].astype(jnp.int32),

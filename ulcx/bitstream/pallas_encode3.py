@@ -17,13 +17,29 @@ batches smaller than 128 streams are PADDED to the full lane width by
 the fast_encode glue at zero wall-clock cost. State arrays stay
 per-(candidate, stream): [P, 8, 128].
 
-Field widths (P = n_chan * block_size <= 16384, the full envelope the
-kernel serves — reference ulcEncoder.c:18-22 allows up to 255ch x
-bs32768 = 8.3M; shapes past P=16384 take the scan path):
-  aux:   rank 14 bits [0..13] (<= P-1 = 16383), segment length 15 bits
-         [14..28] (a full bs16384 block = 16384), seg-start bit 30
-  state: next-coded-pos 15 bits [0..14], quantizer 8 bits [15..22],
-         coded bit 23
+Keep test: the reference keeps a coefficient when its importance RANK
+is below the candidate count (heapsort ranks,
+ulcEncoder_BlockTransform.c:349-355). Materializing per-position ranks
+costs an argsort PLUS an inverse-permutation sort per block batch —
+the largest coherent block in the round-3 device trace. The kernels
+instead test the stable-descending-order predicate directly:
+
+  kept(p, n)  <=>  key[p] > t_n  |  (key[p] == t_n  &  p <= c_n)
+
+where key = order-preserving monotone i32 of the importance (±0.0
+squashed, NaNs collapsed below -inf — ops/sortk.monotone_i32) and
+(t_n, c_n) = the n-th entry of ONE (key desc, idx asc) sort, fetched
+per candidate. Bit-identical to rank < n, ties included, with the
+inverse-permutation sort gone and the rank field freed from the aux
+word.
+
+Field widths (P = n_chan * block_size <= 32768 — the kernel now holds
+the reference's full BLOCK envelope incl. mono bs32768,
+ulcEncoder.c:21; many-channel shapes past P=32768 take the scan path):
+  aux:   segment length 16 bits [0..15] (a full bs32768 block =
+         32768 = 0x8000), seg-start bit 16
+  state: next-coded-pos 16 bits [0..15] (sentinel 65535 > P-1),
+         quantizer 5 bits [16..20], coded bit 21
 
 Byte-identical to the scan path (ulcx.bitstream.encode).
 """
@@ -105,7 +121,8 @@ def _chunk_loop(body, carry, unroll: int):
 # inter-phase HBM traffic, same log count, bit-identical qi.
 
 
-def _p1(nout_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc, *, unroll: int):
+def _p1(t_ref, c_ref, key_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc,
+        *, unroll: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -113,15 +130,17 @@ def _p1(nout_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc, *, unroll: int):
         qmin_sc[...] = jnp.full((SUBC, LAN), 1000.0, jnp.float32)
         qmax_sc[...] = jnp.full((SUBC, LAN), -1000.0, jnp.float32)
 
-    nout = nout_ref[...]
+    t = t_ref[...]
+    c = c_ref[...]
+    base = j * CHUNK
 
     def body(p, carry):
         qmin, qmax = carry
         a = jnp.abs(coef_ref[p])          # (1, LAN) -> broadcasts
         aux = aux_ref[p]
-        rank = aux & 0x3FFF
-        segstart = (aux >> 30) & 1
-        kept = rank < nout
+        key = key_ref[p]
+        segstart = (aux >> 16) & 1
+        kept = (key > t) | ((key == t) & (base + p <= c))
         qmin = jnp.where(segstart == 1, jnp.float32(1000.0), qmin)
         qmax = jnp.where(segstart == 1, jnp.float32(-1000.0), qmax)
         nmin = jnp.minimum(qmin, a)
@@ -164,7 +183,8 @@ def _p1(nout_ref, coef_ref, aux_ref, s12_ref, qmin_sc, qmax_sc, *, unroll: int):
 # 63 = "never" (beyond the 5-bit quantizer range).
 
 
-def _p2(nout_ref, thr_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
+def _p2(t_ref, c_ref, key_ref, thr_ref, aux_ref, s12_ref, state_ref, st_sc,
+        *, unroll: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -175,7 +195,8 @@ def _p2(nout_ref, thr_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
         st_sc[3] = jnp.full((SUBC, LAN), 31, jnp.int32)         # q_next
         st_sc[4] = jnp.full((SUBC, LAN), SENT, jnp.int32)       # ncp
 
-    nout = nout_ref[...]
+    t = t_ref[...]
+    c = c_ref[...]
     base = (pl.num_programs(1) - 1 - j) * CHUNK
 
     def body(k, carry):
@@ -183,9 +204,9 @@ def _p2(nout_ref, thr_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
         lp = CHUNK - 1 - k
         p = base + lp
         aux = aux_ref[lp]
-        rank = aux & 0x3FFF
-        segdelta = (aux >> 14) & 0x7FFF
-        kept = rank < nout
+        key = key_ref[lp]
+        segdelta = aux & 0xFFFF
+        kept = (key > t) | ((key == t) & (p <= c))
         s12 = s12_ref[lp]
         split_p = (s12 >> 5) & 1
         diff_seg = nk >= p + segdelta
@@ -197,9 +218,9 @@ def _p2(nout_ref, thr_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
         q_next = jnp.where(coded, cur_qi, q_next)
         ncp_new = jnp.where(coded, p, ncp)
         state_ref[lp] = (
-            jnp.clip(ncp_new, 0, (1 << 15) - 1)
-            | (q_next << 15)
-            | (coded.astype(jnp.int32) << 23)
+            jnp.clip(ncp_new, 0, (1 << 16) - 1)
+            | (q_next << 16)
+            | (coded.astype(jnp.int32) << 21)
         )
         nk = jnp.where(kept, p, nk)
         nk_split = jnp.where(kept, split_p, nk_split)
@@ -230,7 +251,7 @@ def _p2(nout_ref, thr_ref, aux_ref, s12_ref, state_ref, st_sc, *, unroll: int):
 #    words (per-lane VMEM offsets — the round-2 blocker — never arise).
 
 
-def _p3(nout_ref, *refs, materialize: bool, unroll: int,
+def _p3(*refs, materialize: bool, unroll: int,
         thin: bool = False):
     if materialize and thin:
         (coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref, hfmeta_ref,
@@ -268,12 +289,12 @@ def _p3(nout_ref, *refs, materialize: bool, unroll: int,
             covered, prev_q, bits, tail_done = carry
         p = base + lp
         aux = aux_ref[lp]
-        segdelta = (aux >> 14) & 0x7FFF
-        segstart = (aux >> 30) & 1
+        segdelta = aux & 0xFFFF
+        segstart = (aux >> 16) & 1
         srow = state_ref[lp]
-        ncp = srow & 0x7FFF
-        q_ev = (srow >> 15) & 0xFF
-        coded = (srow >> 23) & 1
+        ncp = srow & 0xFFFF
+        q_ev = (srow >> 16) & 0x1F
+        coded = (srow >> 21) & 1
 
         prev_q = jnp.where(segstart == 1, jnp.int32(-1), prev_q)
         tail_done = jnp.where(segstart == 1, jnp.int32(0), tail_done)
@@ -527,15 +548,17 @@ def _specs(p_tot: int):
     return in_spec, lin_spec, rin_spec, chunk_spec, rchunk_spec, whole
 
 
-def p12_call(nout, coef, thr, aux, p_tot: int, interpret: bool = False):
+def p12_call(t, c, key, coef, thr, aux, p_tot: int, interpret: bool = False):
     """Phases 1+2 (forward zone scan, reverse backfill): the packed
     per-position state plane [G, P, SUBC, LAN] consumed by phase 3.
     Exposed separately so a size pass and a materialize pass over the
     SAME candidates (the thin final round) reuse one state build.
+    t/c [G, SUBC, LAN] are the per-candidate keep thresholds (see
+    module docstring); key [G, P, 1, LAN] the monotone importance.
     p1 reads the coefficient values (zone min/max); p2 only ever tests
     |coef|*2^q >= 2.5, so it reads the packed threshold plane."""
     n_chunks = p_tot // CHUNK
-    g = nout.shape[0]
+    g = t.shape[0]
     grid = (g, n_chunks)
     unroll = 1 if interpret else UNROLL
     in_spec, _, rin_spec, chunk_spec, rchunk_spec, whole = _specs(p_tot)
@@ -543,7 +566,7 @@ def p12_call(nout, coef, thr, aux, p_tot: int, interpret: bool = False):
     s12 = pl.pallas_call(
         functools.partial(_p1, unroll=unroll),
         grid=grid,
-        in_specs=[whole, in_spec, in_spec],
+        in_specs=[whole, whole, in_spec, in_spec, in_spec],
         out_specs=chunk_spec,
         out_shape=jax.ShapeDtypeStruct((g, p_tot, SUBC, LAN), jnp.int32),
         scratch_shapes=[
@@ -551,28 +574,29 @@ def p12_call(nout, coef, thr, aux, p_tot: int, interpret: bool = False):
             pltpu.VMEM((SUBC, LAN), jnp.float32),
         ],
         interpret=interpret,
-    )(nout, coef, aux)
+    )(t, c, key, coef, aux)
 
     return pl.pallas_call(
         functools.partial(_p2, unroll=unroll),
         grid=grid,
-        in_specs=[whole, rin_spec, rin_spec, rchunk_spec],
+        in_specs=[whole, whole, rin_spec, rin_spec, rin_spec, rchunk_spec],
         out_specs=rchunk_spec,
         out_shape=jax.ShapeDtypeStruct((g, p_tot, SUBC, LAN), jnp.int32),
         scratch_shapes=[pltpu.VMEM((5, SUBC, LAN), jnp.int32)],
         interpret=interpret,
-    )(nout, thr, aux, s12)
+    )(t, c, key, thr, aux, s12)
 
 
-def p3_call(nout, coef, thr, ampn, aux, hfamp, hfmeta, state, hdr,
+def p3_call(coef, thr, ampn, aux, hfamp, hfmeta, state, hdr,
             p_tot: int, materialize: bool, interpret: bool = False,
             thin: bool = False, bestj=None):
     """Phase 3 (forward emission walk) over a prebuilt state plane.
 
-    Size-only mode reads (nout, thr, aux, state): the coefficient/
-    amplitude value planes are replaced by the packed threshold plane
-    (pass coef/ampn/hfamp/hfmeta as None). Materialize mode reads the
-    full value planes (thr unused).
+    Size-only mode reads (thr, aux, state): the coefficient/amplitude
+    value planes are replaced by the packed threshold plane (pass
+    coef/ampn/hfamp/hfmeta as None). Materialize mode reads the full
+    value planes (thr unused). Keep decisions are already baked into
+    the state plane, so phase 3 needs no keep thresholds.
 
     thin (materialize only): word/widx come back [G, P/8, 8, LAN] —
     ONE winner-selected plane (row-major == [G, P, LAN]) instead of 8
@@ -581,7 +605,7 @@ def p3_call(nout, coef, thr, ampn, aux, hfamp, hfmeta, state, hdr,
     full unroll under Mosaic (the per-position sublane index must be
     static); interpret mode takes the dynamic-index path."""
     n_chunks = p_tot // CHUNK
-    g = nout.shape[0]
+    g = state.shape[0]
     grid = (g, n_chunks)
     unroll = 1 if interpret else UNROLL
     if thin and not interpret:
@@ -597,15 +621,15 @@ def p3_call(nout, coef, thr, ampn, aux, hfamp, hfmeta, state, hdr,
         return (pl.pallas_call(
             kern3,
             grid=grid,
-            in_specs=[whole, in_spec, in_spec, chunk_spec],
+            in_specs=[in_spec, in_spec, chunk_spec],
             out_specs=whole,
             out_shape=jax.ShapeDtypeStruct((g, SUBC, LAN), jnp.int32),
             scratch_shapes=[pltpu.VMEM((4, SUBC, LAN), jnp.int32)],
             interpret=interpret,
-        )(nout, thr, aux, state),)
+        )(thr, aux, state),)
 
     coefn = jnp.concatenate([coef[:, 1:], coef[:, -1:]], axis=1)
-    in_specs = [whole, in_spec, in_spec, lin_spec, in_spec, lin_spec,
+    in_specs = [in_spec, in_spec, lin_spec, in_spec, lin_spec,
                 lin_spec, chunk_spec]
     if materialize and thin:
         bj_spec = pl.BlockSpec(
@@ -630,7 +654,7 @@ def p3_call(nout, coef, thr, ampn, aux, hfamp, hfmeta, state, hdr,
             ),
             scratch_shapes=[pltpu.VMEM((7, SUBC, LAN), jnp.int32)],
             interpret=interpret,
-        )(nout, coef, coefn, ampn, aux, hfamp, hfmeta, state, hdr, bestj)
+        )(coef, coefn, ampn, aux, hfamp, hfmeta, state, hdr, bestj)
     if materialize:
         return pl.pallas_call(
             kern3,
@@ -646,10 +670,10 @@ def p3_call(nout, coef, thr, ampn, aux, hfamp, hfmeta, state, hdr,
             ),
             scratch_shapes=[pltpu.VMEM((7, SUBC, LAN), jnp.int32)],
             interpret=interpret,
-        )(nout, coef, coefn, ampn, aux, hfamp, hfmeta, state, hdr)
+        )(coef, coefn, ampn, aux, hfamp, hfmeta, state, hdr)
 
 
-def encode_kernel_call3(nout, coef, thr, ampn, aux, hfamp, hfmeta, hdr,
+def encode_kernel_call3(t, c, key, coef, thr, ampn, aux, hfamp, hfmeta, hdr,
                         p_tot: int, materialize: bool,
                         interpret: bool = False,
                         thin: bool = False, bestj=None):
@@ -661,9 +685,10 @@ def encode_kernel_call3(nout, coef, thr, ampn, aux, hfamp, hfmeta, hdr,
     fixed cost and the serial-loop drain bubbles were the measured
     round cost at B=512, not HBM traffic).
 
-    nout/hdr [G, SUBC, LAN] i32; coef [G, P, 1, LAN] f32; aux alike i32;
-    ampn/hfamp [G, P/2, 1, LAN] f32 and hfmeta i32 in the pseudo-DFT
-    line domain (pairwise-constant, read at lp >> 1).
+    t/c/hdr [G, SUBC, LAN] i32 (t/c = per-candidate keep thresholds);
+    coef [G, P, 1, LAN] f32; key/aux alike i32; ampn/hfamp
+    [G, P/2, 1, LAN] f32 and hfmeta i32 in the pseudo-DFT line domain
+    (pairwise-constant, read at lp >> 1).
     Returns bits [G, SUBC, LAN] (tail tokens included; header excluded),
     plus in materialize mode (word [G, P, SUBC, LAN], widx alike,
     freg [G, SUBC, LAN], fwc [G, SUBC, LAN]): emitted u32 stream words
@@ -671,6 +696,6 @@ def encode_kernel_call3(nout, coef, thr, ampn, aux, hfamp, hfmeta, hdr,
     partial word, and the completed-word count. With thin=True the
     word/widx planes are winner-selected (see p3_call).
     """
-    state = p12_call(nout, coef, thr, aux, p_tot, interpret)
-    return p3_call(nout, coef, thr, ampn, aux, hfamp, hfmeta, state, hdr,
+    state = p12_call(t, c, key, coef, thr, aux, p_tot, interpret)
+    return p3_call(coef, thr, ampn, aux, hfamp, hfmeta, state, hdr,
                    p_tot, materialize, interpret, thin, bestj)

@@ -189,17 +189,18 @@ def _use_kernel(cfg: CodecConfig, batch: int) -> bool:
         return False
     p_tot = cfg.n_chan * cfg.block_size
     # One kernel family (the 128-lane v3 layout; smaller batches pad up
-    # for free — fast_encode._pad128). Envelope P <= 16384: rank is a
-    # 14-bit field (0..16383 — exactly P-1), segdelta (a segment
-    # LENGTH, bound by block_size) is 15 bits (holds a full bs16384
-    # block), ncp is 15 bits, and VMEM use is CHUNK-blocked. Covers
-    # stereo bs8192, mono bs16384, and 4ch x bs4096; larger shapes
-    # (through the reference's 255ch x bs32768 envelope,
-    # ulcEncoder.c:18-22) take the scan path.
+    # for free — fast_encode._pad128). Envelope P <= 32768 — the full
+    # reference BLOCK envelope incl. mono bs32768 (ulcEncoder.c:21):
+    # aux packs segdelta in 16 bits (a full bs32768 segment) and the
+    # state plane ncp in 16 bits (sentinel 65535 > P-1); the keep test
+    # is threshold-based (pallas_encode3 docstring), so no rank field
+    # bounds P. VMEM use is CHUNK-blocked. Many-channel shapes past
+    # P=32768 (the reference allows up to 255ch, ulcEncoder.c:18-22)
+    # take the scan path.
     shape_ok = (
-        p_tot <= 16384
+        p_tot <= 32768
         and p_tot % 128 == 0
-        and cfg.block_size <= 16384
+        and cfg.block_size <= 32768
         and batch % 8 == 0
         and cfg.noise_run_window == "segment"
     )

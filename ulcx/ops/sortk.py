@@ -26,19 +26,20 @@ masks offset by the half index), and the ONE cross-half substage per
 sort (stage P, stride P/2) runs as a plain XLA elementwise pass
 (~3 ops over the arrays — bandwidth-trivial).
 
-Exactness: the rank entry point reproduces
-``_inverse_perm(argsort(-flat))`` (analysis/batched.py) BIT-EXACTLY,
-ties included: the f32 key is mapped to a monotone signed i32 (-0.0
-squashed in the int domain so ±0.0 stay tied, as under IEEE
-comparison), the comparator orders by (key desc, index asc) — exactly
-a stable descending sort — and the inverse permutation runs as a
-packed single-operand network (cf. _inverse_perm) without leaving
-VMEM.
+Contents: ``sort_kv_lanes`` (the assemble compaction sort) and
+``monotone_i32`` (the order-preserving f32 -> i32 key map the
+threshold-keep scheme builds on — pallas_encode3 docstring). A fused
+rank kernel (argsort + inverse permutation in one VMEM pass) lived
+here through round 3; it measured 1.15-1.24x SLOWER than the XLA sorts
+it replaced (devtools/sortk_bench.py) and the rank materialization it
+accelerated was itself retired by the threshold-keep redesign, so it
+is gone (git history has it). sort_kv_lanes measures ~10% FASTER than
+lax.sort at P=8192 and neutral at P=4096.
 
-Reference parity note: this replaces the heapsort of
-``ulcEncoder_BlockTransform.c:349-355`` (SortIndices) in the batched
-TPU pipeline; ordering semantics follow the repo-wide stable-argsort
-convention, not heapsort tie order (see SURVEY §7 hard part 2).
+Reference parity note: the stable-descending order convention replaces
+the heapsort of ``ulcEncoder_BlockTransform.c:349-355`` (SortIndices);
+tie order follows the repo-wide stable-argsort convention, not
+heapsort tie order (see SURVEY §7 hard part 2).
 """
 
 from __future__ import annotations
@@ -145,10 +146,6 @@ def _substage_xla3(arrs, less_fn, p: int, size: int, s: int):
     return _substage_xla(arrs, less_fn, p, size, s, axis=1)
 
 
-def _desc_tie_asc(a, b):
-    # (key desc, index asc): argsort(-flat) stable-tie semantics
-    return (a[0] > b[0]) | ((a[0] == b[0]) & (a[1] < b[1]))
-
 
 def _asc(a, b):
     return a[0] < b[0]
@@ -158,7 +155,7 @@ def _asc_tie_val(a, b):
     return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] < b[1]))
 
 
-def _monotone_i32(f):
+def monotone_i32(f):
     """f32 -> signed i32 preserving order; ±0.0 collapse to one key so
     ties (and thus stable-index order) match IEEE comparison. The -0.0
     squash runs in the int domain: ``f + 0.0f`` gets algebraically
@@ -208,120 +205,6 @@ def sortable(p: int, b: int) -> bool:
         and b % lt == 0
         and min(p, _CAP) * lt * 4 <= 2**21
     )
-
-
-# --------------------------------------------------------------------------
-# rank (stable descending argsort + inverse permutation, fused)
-
-
-def _rank_kernel(imp_ref, out_ref, *, bits: int, interpret: bool):
-    p, l = imp_ref.shape
-    key = _monotone_i32(imp_ref[...])
-    idx = lax.broadcasted_iota(jnp.int32, (p, l), 0)
-    _, order = _run((key, idx), _desc_tie_asc, idx, _schedule(p), interpret)
-    # inverse permutation: one packed single-operand network (all keys
-    # distinct -> plain ascending compare is already strict)
-    packed = (order << bits) | idx
-    (packed,) = _run((packed,), _asc, idx, _schedule(p), interpret)
-    out_ref[...] = packed & ((1 << bits) - 1)
-
-
-def _rank_pre_kernel(imp_ref, key_ref, ord_ref, *, interpret: bool):
-    """Split form, stage 1: half-local prefix of the (key, idx) sort."""
-    p, l = imp_ref.shape
-    key = _monotone_i32(imp_ref[...])
-    idx = _iota_block(p, l, True)
-    pre, _, _ = _split_schedules(2 * p)
-    key, order = _run((key, idx), _desc_tie_asc, idx, pre, interpret)
-    key_ref[...] = key
-    ord_ref[...] = order
-
-
-def _rank_mid_kernel(key_ref, ord_ref, pk_ref, *, bits: int, interpret: bool):
-    """Split form, stage 2: post-cross suffix of the (key, idx) sort,
-    then the half-local prefix of the packed inverse sort."""
-    p, l = key_ref.shape
-    idx = _iota_block(p, l, True)
-    pre, _, post = _split_schedules(2 * p)
-    _, order = _run(
-        (key_ref[...], ord_ref[...]), _desc_tie_asc, idx, post, interpret
-    )
-    packed = (order << bits) | idx
-    (packed,) = _run((packed,), _asc, idx, pre, interpret)
-    pk_ref[...] = packed
-
-
-def _rank_post_kernel(pk_ref, out_ref, *, bits: int, interpret: bool):
-    """Split form, stage 3: post-cross suffix of the inverse sort."""
-    p, l = pk_ref.shape
-    idx = _iota_block(p, l, True)
-    _, _, post = _split_schedules(2 * p)
-    (packed,) = _run((pk_ref[...],), _asc, idx, post, interpret)
-    out_ref[...] = packed & ((1 << bits) - 1)
-
-
-def _call(kernel, args, n_out, p: int, lt: int, b: int, halves: bool,
-          interpret: bool, dtypes=None):
-    """pallas_call wrapper: grid (halves?, lane tiles), [p_blk, lt]
-    blocks of [P, B] operands."""
-    p_blk = p // 2 if halves else p
-    if halves:
-        grid = (2, b // lt)
-        spec = pl.BlockSpec(
-            (p_blk, lt), lambda h, g: (h, g), memory_space=pltpu.VMEM
-        )
-    else:
-        grid = (b // lt,)
-        spec = pl.BlockSpec(
-            (p_blk, lt), lambda g: (0, g), memory_space=pltpu.VMEM
-        )
-    outs = [
-        jax.ShapeDtypeStruct((p, b), dt)
-        for dt in (dtypes or [jnp.int32] * n_out)
-    ]
-    res = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[spec] * len(args),
-        out_specs=[spec] * n_out if n_out > 1 else spec,
-        out_shape=outs if n_out > 1 else outs[0],
-        interpret=interpret,
-        compiler_params=None if interpret else _PARAMS,
-    )(*args)
-    return res
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def ranks_kernel(flat, interpret: bool = False):
-    """rank[i] = position of element i in a stable descending sort of
-    ``flat`` along the last axis; == _inverse_perm(argsort(-flat)).
-    flat: [B, P] f32 -> [B, P] i32."""
-    b, p = flat.shape
-    bits = int(p - 1).bit_length()
-    lt = _lane_tile(p, b)
-    imp_t = flat.T  # [P, B]: sort axis on sublanes, streams in lanes
-    if p <= _CAP:
-        out = _call(
-            functools.partial(_rank_kernel, bits=bits, interpret=interpret),
-            (imp_t,), 1, p, lt, b, False, interpret,
-        )
-        return out.T
-    pre, cross, post = _split_schedules(p)
-    key, order = _call(
-        functools.partial(_rank_pre_kernel, interpret=interpret),
-        (imp_t,), 2, p, lt, b, True, interpret,
-    )
-    key, order = _substage_xla((key, order), _desc_tie_asc, p, *cross)
-    packed = _call(
-        functools.partial(_rank_mid_kernel, bits=bits, interpret=interpret),
-        (key, order), 1, p, lt, b, True, interpret,
-    )
-    (packed,) = _substage_xla((packed,), _asc, p, *cross)
-    out = _call(
-        functools.partial(_rank_post_kernel, bits=bits, interpret=interpret),
-        (packed,), 1, p, lt, b, True, interpret,
-    )
-    return out.T
 
 
 # --------------------------------------------------------------------------
@@ -409,40 +292,3 @@ def sort_kv_lanes(key, val, interpret: bool = False):
         functools.partial(_kv_post_kernel, interpret=interpret),
         (ks, vs), 1, g, p, lan, True, interpret,
     )
-
-
-# --------------------------------------------------------------------------
-# dispatch
-
-
-def ranks_batched(flat, cfg):
-    """Dispatch: in-VMEM kernel when the shape fits and kernels are on
-    (same gate shape as codec.encoder._use_kernel), else the two-sort
-    XLA path. Bit-identical either way."""
-    import os
-
-    from ulcx.utils.config import mosaic_interpret
-
-    b, p = flat.shape
-    use = (
-        os.environ.get("ULCX_SORTK", "0") == "1"
-        and cfg.use_pallas != "off"
-        and sortable(p, b)
-        # interpret mode runs the ~70-substage network eagerly —
-        # minutes-slow at production P; fall back to the XLA sorts
-        # (same gate shape as _assemble_v3_lanes)
-        and not mosaic_interpret()
-        and (cfg.use_pallas == "on" or jax.default_backend() not in ("cpu",))
-    )
-    if use:
-        return ranks_kernel(flat, interpret=False)
-    # XLA fallback: rank = inverse_perm(argsort(-flat)). argsort lowers
-    # to a 2-operand (key, iota) sort; the inverse runs as ONE
-    # 1-operand sort of the packed (order << bits | iota) int — exact,
-    # ~half the sort traffic of a second argsort. This is the single
-    # canonical implementation (the kernel reproduces it bit-exactly).
-    order = jnp.argsort(-flat, axis=-1)
-    bits = int(p - 1).bit_length()
-    iota = jnp.arange(p, dtype=order.dtype)
-    packed = (order << bits) | iota
-    return jnp.sort(packed, axis=-1) & ((1 << bits) - 1)

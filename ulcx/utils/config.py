@@ -63,10 +63,17 @@ class CodecConfig:
     # (window = min(gap_len, 527); reference ulcEncoder_Encode.c:150-153),
     # at the cost of a per-candidate recompute. Both windows coincide
     # whenever the gap runs to the end of the [sub]block; levels differ
-    # by at most ~1 quantization step otherwise.
+    # by at most ~1 quantization step otherwise (measured corpus impact
+    # <= 0.114% size / <= 0.12 dB, PARITY.md §2).
+    #
+    # LOUD NOTE — "gap" is SCAN-ONLY: the run end is candidate-dependent
+    # state the streaming kernels cannot address (a dynamic sublane read
+    # into the prefix-sum planes, which Mosaic does not support), so
+    # "gap" disables the Pallas fast path regardless of use_pallas
+    # (ValueError under use_pallas="on" rather than a silent fallback).
     noise_run_window: str = "segment"
     # Fused Pallas bitstream kernels: "auto" uses them on TPU backends
-    # whenever the shape constraints hold (P <= 4096, batch % 8 == 0,
+    # whenever the shape constraints hold (P <= 32768, batch % 8 == 0,
     # segment noise window); "on" forces them (interpret mode off-TPU),
     # "off" always uses the XLA scan path.
     use_pallas: str = "auto"
@@ -102,6 +109,14 @@ class CodecConfig:
             raise ValueError(f"bad noise_run_window {self.noise_run_window!r}")
         if self.use_pallas not in ("auto", "on", "off"):
             raise ValueError(f"bad use_pallas {self.use_pallas!r}")
+        if self.noise_run_window == "gap" and self.use_pallas == "on":
+            raise ValueError(
+                "noise_run_window='gap' is scan-only (the C-exact run "
+                "window is candidate-dependent state the streaming "
+                "kernels cannot address); use use_pallas='auto'/'off' "
+                "with it, or the default 'segment' window for the fast "
+                "path (corpus impact <= 0.114% size, PARITY.md §2)"
+            )
         if not (isinstance(self.fold_bitstream, int) and self.fold_bitstream >= 1):
             raise ValueError(
                 f"fold_bitstream must be an int >= 1, got {self.fold_bitstream!r}"
