@@ -7,7 +7,10 @@ real chip at production shapes and asserting bit-equality against the
 XLA fallback paths:
 
   - sort_kv_lanes [G, 4096, 128] and [G, 8192, 128] in the assemble
-    lane layout (distinct small keys + massed sentinel ties).
+    lane layout (distinct small keys + massed sentinel ties);
+  - sort_kv_lanes2 at the same shapes in the threshold-plane form
+    (tie-heavy monotone_i32 keys incl. NaN/±0/±inf, position-iota
+    vals), both outputs vs the stable 1-key lax.sort.
 
 (The fused rank kernel this harness also covered through round 3 is
 retired — devtools/sortk_bench.py measured it 1.15-1.24x slower than
@@ -61,7 +64,7 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from ulcx.ops.sortk import sort_kv_lanes
+    from ulcx.ops.sortk import monotone_i32, sort_kv_lanes, sort_kv_lanes2
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     rng = np.random.default_rng(0xC0DEC)
@@ -81,6 +84,29 @@ def main():
         ok &= eq
         print(
             f"sort_kv_lanes [G={g}, P={p}, L={lan}]: "
+            f"{'EXACT' if eq else 'MISMATCH'} (first call {t_kern:.1f}s)"
+        )
+
+        # threshold-plane form: ~monotone importance key, position vals
+        f = _tie_heavy(rng, g * lan, p)
+        kl = np.asarray(
+            jnp.asarray(~monotone_i32(jnp.asarray(f)))
+        ).reshape(g, lan, p).transpose(0, 2, 1)
+        vi = np.broadcast_to(
+            np.arange(p, dtype=np.int32)[None, :, None], (g, p, lan)
+        ).copy()
+        kj2, vj2 = jnp.asarray(kl), jnp.asarray(vi)
+        t0 = time.perf_counter()
+        gk, gv = sort_kv_lanes2(kj2, vj2, interpret=False)
+        gk, gv = np.asarray(gk), np.asarray(gv)
+        t_kern = time.perf_counter() - t0
+        rk, rv = lax.sort((kj2, vj2), dimension=1, num_keys=1)
+        eq = np.array_equal(gk, np.asarray(rk)) and np.array_equal(
+            gv, np.asarray(rv)
+        )
+        ok &= eq
+        print(
+            f"sort_kv_lanes2 [G={g}, P={p}, L={lan}]: "
             f"{'EXACT' if eq else 'MISMATCH'} (first call {t_kern:.1f}s)"
         )
 

@@ -16,7 +16,9 @@ from ulcx.ops.sortk import (
     _lane_tile,
     monotone_i32,
     sort_kv_lanes,
+    sort_kv_lanes2,
     sortable,
+    use_kv_kernel,
 )
 
 
@@ -106,6 +108,64 @@ def test_sort_kv_lanes_split_form():
     finally:
         sortk._CAP = old
         jax.clear_caches()
+
+
+def test_sort_kv_lanes2_matches_lax():
+    """Threshold-plane shape (_v3_planes): val is the position iota, so
+    the kernel's (key asc, val asc) comparator equals the stable 1-key
+    lax.sort on BOTH outputs — including heavy key ties."""
+    rng = np.random.default_rng(7)
+    g, p, lan = 2, 64, 16
+    key = rng.integers(-8, 8, (g, p, lan)).astype(np.int32)  # many ties
+    val = np.broadcast_to(
+        np.arange(p, dtype=np.int32)[None, :, None], (g, p, lan)
+    ).copy()
+    kj, vj = jnp.asarray(key), jnp.asarray(val)
+    rk, rv = lax.sort((kj, vj), dimension=1, num_keys=1)
+    gk, gv = sort_kv_lanes2(kj, vj, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(rv))
+
+
+def test_sort_kv_lanes2_split_form():
+    """P > _CAP split form of the dual-output sort (production: the
+    P=8192 threshold sort)."""
+    from ulcx.ops import sortk
+
+    rng = np.random.default_rng(3)
+    old = sortk._CAP
+    sortk._CAP = 32
+    jax.clear_caches()  # jit-cached by shape; _CAP is read at trace time
+    try:
+        g, p, lan = 2, 64, 8
+        key = rng.integers(-8, 8, (g, p, lan)).astype(np.int32)
+        val = np.broadcast_to(
+            np.arange(p, dtype=np.int32)[None, :, None], (g, p, lan)
+        ).copy()
+        kj, vj = jnp.asarray(key), jnp.asarray(val)
+        rk, rv = lax.sort((kj, vj), dimension=1, num_keys=1)
+        gk, gv = sort_kv_lanes2(kj, vj, interpret=True)
+        np.testing.assert_array_equal(np.asarray(gk), np.asarray(rk))
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(rv))
+    finally:
+        sortk._CAP = old
+        jax.clear_caches()
+
+
+def test_use_kv_kernel_gate(monkeypatch):
+    """Dispatch: default engages only at P>=8192 (the measured win),
+    ULCX_SORTK=1 forces anywhere sortable, =0 disables, interpret mode
+    always falls back."""
+    monkeypatch.delenv("ULCX_SORTK", raising=False)
+    assert use_kv_kernel(8192, 128, interpret=False)
+    assert not use_kv_kernel(4096, 128, interpret=False)  # neutral: off
+    assert not use_kv_kernel(8192, 128, interpret=True)
+    monkeypatch.setenv("ULCX_SORTK", "1")
+    assert use_kv_kernel(4096, 128, interpret=False)
+    assert not use_kv_kernel(4096, 128, interpret=True)
+    assert not use_kv_kernel(256, 8, interpret=False)  # not sortable
+    monkeypatch.setenv("ULCX_SORTK", "0")
+    assert not use_kv_kernel(8192, 128, interpret=False)
 
 
 def test_gate():

@@ -374,8 +374,9 @@ def _thr_plane_l(coef_l, ampn_l, hfa_l, hfm_l):
     ).astype(jnp.int32)
 
 
-def _v3_planes(fb: FastBlockData) -> _V3Planes:
+def _v3_planes(fb: FastBlockData, interpret: bool = False) -> _V3Planes:
     from ulcx.bitstream import pallas_encode3 as pe3
+    from ulcx.ops import sortk
 
     b, p_tot = fb.coef.shape
     hdrw = fb.header[:, 0] | (fb.header[:, 1] << 4) | (fb.n_header << 8)
@@ -394,7 +395,12 @@ def _v3_planes(fb: FastBlockData) -> _V3Planes:
     # exactly the descending key order with position-ascending ties.
     kl = key_l[:, :, 0, :]
     iota = jax.lax.broadcasted_iota(jnp.int32, kl.shape, 1)
-    skinv, sidx = jax.lax.sort((~kl, iota), dimension=1, num_keys=1)
+    if sortk.use_kv_kernel(p_tot, pe3.LAN, interpret):
+        # in-VMEM form (ops/sortk.py): the val tiebreak is the position
+        # iota itself, so (key asc, val asc) == the stable 1-key sort
+        skinv, sidx = sortk.sort_kv_lanes2(~kl, iota, interpret)
+    else:
+        skinv, sidx = jax.lax.sort((~kl, iota), dimension=1, num_keys=1)
     return _V3Planes(
         coef_l,
         _thr_plane_l(coef_l, ampn_l, hfa_l, hfm_l),
@@ -485,7 +491,7 @@ def total_sizes(fb: FastBlockData, nout, cfg: CodecConfig, interpret=False):
     b, p_tot = fb.coef.shape
     fbp = _pad128(fb)
     return _v3_sizes(
-        _v3_planes(fbp), fbp.n_header, _pad_vec(nout, b), interpret
+        _v3_planes(fbp, interpret), fbp.n_header, _pad_vec(nout, b), interpret
     )[:b]
 
 
@@ -622,7 +628,7 @@ def rate_search_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     p_tot = fb.coef.shape[1]
     k = cand_count(b, p_tot)
     fbp = _pad128(fb)
-    pl3 = _v3_planes(fbp)
+    pl3 = _v3_planes(fbp, interpret)
     size_fn = lambda nn: _v3_sizes(pl3, fbp.n_header, nn, interpret)
     rounds = max(1, int(math.ceil(math.log(p_tot, k))))
     budget = _pad_vec(budget.astype(jnp.int32), b)
@@ -658,11 +664,7 @@ def _assemble_v3_lanes(word, widx, freg, fwc, max_bytes: int,
     n_words = (2 * max_bytes) // 8
     from ulcx.ops import sortk
 
-    if (
-        not interpret
-        and sortk.sortable(p_tot, lan)
-        and os.environ.get("ULCX_SORTK", "0") == "1"
-    ):
+    if sortk.use_kv_kernel(p_tot, lan, interpret):
         # in-VMEM bitonic form of the same compaction sort: one HBM
         # read+write instead of a per-stage round trip (ops/sortk.py).
         # Tie order among the masked sentinel entries differs from
@@ -702,7 +704,7 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
         (g, pe3.SUBC, pe3.LAN),
     )
     if _use_thin():
-        pl3 = _v3_planes(fb)
+        pl3 = _v3_planes(fb, interpret)
         t, c = _tc_of(pl3, nout_l)
         state = pe3.p12_call(
             t, c, pl3.key_l, pl3.coef_l, pl3.thr_l, pl3.aux_l, p_tot,
@@ -724,7 +726,7 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
         )
         return size_bits[:b_in], by[:b_in]
     bits_l, word_l, widx_l, freg_l, fwc_l = _v3_call_l(
-        _v3_planes(fb), nout_l, True, interpret
+        _v3_planes(fb, interpret), nout_l, True, interpret
     )
     size_bits = (4 * (bits_l[:, 0, :].reshape(b) + fb.n_header) + 7) & ~7
     by = _assemble_v3_lanes(
@@ -757,7 +759,7 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     # the final select never round-trip through [B, k] — the device
     # trace showed the per-round [G,8,128]<->[B,8] relayout copies
     # costing more than the feasibility math itself
-    pl3 = _v3_planes(fb)
+    pl3 = _v3_planes(fb, interpret)
     g = b // 128
     bud = budget.astype(jnp.int32).reshape(g, 128)[:, None, :]
     nh_l = fb.n_header.reshape(g, 128)[:, None, :]

@@ -239,6 +239,27 @@ def _kv_post_kernel(key_ref, val_ref, out_ref, *, interpret: bool):
     out_ref[...] = val
 
 
+def _kv2_kernel(key_ref, val_ref, ko_ref, vo_ref, *, interpret: bool):
+    p, l = key_ref.shape
+    idx = lax.broadcasted_iota(jnp.int32, (p, l), 0)
+    key, val = _run(
+        (key_ref[...], val_ref[...]), _asc_tie_val, idx, _schedule(p), interpret
+    )
+    ko_ref[...] = key
+    vo_ref[...] = val
+
+
+def _kv2_post_kernel(key_ref, val_ref, ko_ref, vo_ref, *, interpret: bool):
+    p, l = key_ref.shape
+    idx = _iota_block(p, l, True)
+    _, _, post = _split_schedules(2 * p)
+    key, val = _run(
+        (key_ref[...], val_ref[...]), _asc_tie_val, idx, post, interpret
+    )
+    ko_ref[...] = key
+    vo_ref[...] = val
+
+
 def _call3(kernel, args, n_out, g: int, p: int, lan: int, halves: bool,
            interpret: bool):
     """pallas_call wrapper in assemble lane layout: [G, P, LAN] arrays,
@@ -292,3 +313,45 @@ def sort_kv_lanes(key, val, interpret: bool = False):
         functools.partial(_kv_post_kernel, interpret=interpret),
         (ks, vs), 1, g, p, lan, True, interpret,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sort_kv_lanes2(key, val, interpret: bool = False):
+    """Like sort_kv_lanes but returns BOTH sorted operands (key, val) —
+    the in-VMEM form of ``lax.sort((key, val), dimension=1,
+    num_keys=1)`` used for the threshold-keep sorted planes
+    (fast_encode._v3_planes: key = ~monotone importance, val =
+    position iota, both consumed downstream)."""
+    g, p, lan = key.shape
+    if p <= _CAP:
+        return _call3(
+            functools.partial(_kv2_kernel, interpret=interpret),
+            (key, val), 2, g, p, lan, False, interpret,
+        )
+    pre, cross, post = _split_schedules(p)
+    ks, vs = _call3(
+        functools.partial(_kv_pre_kernel, interpret=interpret),
+        (key, val), 2, g, p, lan, True, interpret,
+    )
+    ks, vs = _substage_xla3((ks, vs), _asc_tie_val, p, *cross)
+    return _call3(
+        functools.partial(_kv2_post_kernel, interpret=interpret),
+        (ks, vs), 2, g, p, lan, True, interpret,
+    )
+
+
+def use_kv_kernel(p: int, lan: int, interpret: bool) -> bool:
+    """Default dispatch for the lane kv sorts: hardware A/B
+    (devtools/sortk_bench.py, 2026-08-19) measured the kernel ~10%
+    faster than lax.sort at P=8192 and NEUTRAL at P=4096, so the
+    default engages only where it wins (the extra Mosaic compile isn't
+    worth a wash). ULCX_SORTK=1 forces it wherever sortable;
+    ULCX_SORTK=0 disables. Interpret mode always falls back (the eager
+    ~78-substage network is minutes-slow on CPU; the kernels have
+    their own direct equality tests)."""
+    import os
+
+    env = os.environ.get("ULCX_SORTK", "auto")
+    if env == "0" or interpret or not sortable(p, lan):
+        return False
+    return env == "1" or p >= 8192
