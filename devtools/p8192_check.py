@@ -3,15 +3,16 @@ stereo bs4096 / P=8192 (default), mono bs8192 / P=8192 ("mono8192"),
 stereo bs8192 / P=16384 ("stereo8192"), mono bs16384 / P=16384
 ("mono16384").
 
-The v3 kernel's packed fields hold the full P<=16384 envelope (rank 14
-bits = 0..16383, segdelta 15 bits — a segment LENGTH, so a full-block
-bs16384 segment needs the 15th bit — ncp 15 bits); this checks
-byte-level agreement with the scan path on real shapes — sizes for a
-candidate ladder and materialized bytes for chosen counts — running the
-kernel on the default (TPU) backend and the scan oracle on the CPU
-backend in the same process. The decode leg rides the production
-dispatcher (kernel FSM at P <= 8192, scan decoder beyond — the decode
-FSM carry packs pos in 14 bits).
+The threshold-keep v3 kernel's packed fields hold the reference's full
+BLOCK envelope P <= 32768 (segdelta 16-bit segment length, state ncp
+16 bits; pallas_encode3 docstring); this checks byte-level agreement
+with the scan path on real shapes — sizes for a candidate ladder and
+materialized bytes for chosen counts — running the kernel on the
+default (TPU) backend and the scan oracle on the CPU backend in the
+same process (prepare-side metadata computed once on CPU and fed to
+both, see below). The decode leg rides the production dispatcher
+(kernel FSM at P <= 8192, scan decoder beyond — the decode FSM carry
+packs pos in 14 bits).
 
 Usage: python devtools/p8192_check.py [mono8192|stereo8192|mono16384]
 """
@@ -62,20 +63,31 @@ def main():
 
     rng = np.random.default_rng(11)
     wcs = [int(w) for w in rng.choice([0x10, 0x28, 0x59, 0xFB, 0x3A, 0x6C], b)]
+    cpu = jax.local_devices(backend="cpu")[0]
+    # Prepare-side metadata (noise amp / HF-ext LSQ fits use exp —
+    # backend-dependent transcendentals) is computed ONCE on the CPU
+    # and fed to BOTH paths: this check asserts the Mosaic kernel
+    # walk + assemble agree with the scan emit bit-exactly given the
+    # same per-position inputs. Cross-backend float identity of the
+    # fits is NOT a contract (a boundary case flips a decay code by
+    # 1 LSB ~1/128 streams); same-backend fit equality of the two
+    # prepare paths is covered byte-exactly by the CPU test suite.
     blks, bds = [], []
-    for wc in wcs:
-        blk, _, _, _ = synth_block(rng, wc, sparsity=float(rng.uniform(0.2, 0.8)))
-        blks.append(blk)
-        bds.append(prepare_block(blk, cfg))
-    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blks)
-
-    fb = jax.jit(lambda bt: prepare_fast(bt, cfg))(batched)
+    with jax.default_device(cpu):
+        for wc in wcs:
+            blk, _, _, _ = synth_block(
+                rng, wc, sparsity=float(rng.uniform(0.2, 0.8))
+            )
+            blks.append(blk)
+            bds.append(prepare_block(blk, cfg))
+        batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blks)
+        fb_cpu = jax.jit(lambda bt: prepare_fast(bt, cfg))(batched)
+    fb = jax.device_put(fb_cpu, jax.devices()[0])
     nout = jnp.broadcast_to(
         (jnp.arange(8) * (c * n // 16) + 64)[None, :], (b, 8)
     ).astype(jnp.int32)
     got = np.asarray(jax.jit(lambda f, nn: total_sizes(f, nn, cfg))(fb, nout))
 
-    cpu = jax.local_devices(backend="cpu")[0]
     ok = 0
     with jax.default_device(cpu):
         size_scan = jax.jit(lambda bd, k: encode_pass_size(bd, k, "segment"))
@@ -96,7 +108,7 @@ def main():
         mat_scan = jax.jit(
             lambda bd, k: encode_pass_materialize(bd, k, 2 * c * n, "segment")
         )
-        for i in range(0, b, 31):
+        for i in range(0, b, 7):
             want_bits, want_by = mat_scan(bds[i], n_out[i])
             nb = int(want_bits) // 8
             assert int(sizes[i]) == int(want_bits), (i, wcs[i])
