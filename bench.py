@@ -153,7 +153,9 @@ def main():
         digest = jnp.sum(out.data.astype(jnp.int32), axis=(1, 2)) + out.size_bits.sum()
         return out, stats, digest
 
-    fn = jax.jit(enc_step)
+    from ulcx.utils.compileopts import jit_options
+
+    fn = jax.jit(enc_step, compiler_options=jit_options())
     out, stats, digest = fn(blocks)
     np.asarray(digest)  # warmup/compile
     np.asarray(out.data[0, 0])  # prove bytes materialize
@@ -227,7 +229,7 @@ def main():
             digest = jnp.sum(pcm, axis=(1, 2, 3)) + bits.sum() + corrupt.sum()
             return pcm, bits, corrupt, digest
 
-        dec = jax.jit(dec_step)
+        dec = jax.jit(dec_step, compiler_options=jit_options())
         pcm, bits, corrupt, ddig = dec(streams)
         np.asarray(pcm[0, 0])
         assert not np.asarray(corrupt).any(), "decode flagged corrupt streams"

@@ -85,7 +85,9 @@ def main():
             )
             return out, digest
 
-        fn = jax.jit(step)
+        from ulcx.utils.compileopts import jit_options
+
+        fn = jax.jit(step, compiler_options=jit_options())
         t0 = time.perf_counter()
         out, digest = fn(blocks)
         np.asarray(digest)
@@ -133,7 +135,7 @@ def main():
                 )
                 return pcm, corrupt, digest
 
-            dfn = jax.jit(dec_step)
+            dfn = jax.jit(dec_step, compiler_options=jit_options())
             t0 = time.perf_counter()
             pcm, corrupt, ddig = dfn(sj)
             np.asarray(ddig)

@@ -1,13 +1,14 @@
 """Kernel-backed encode pass: batched rate search + materialization.
 
 Glue around ``ulcx.bitstream.pallas_encode3``: packs per-position inputs
-(ranks, segment geometry, noise decisions) into the kernel's aux word,
-prices the per-segment tail tokens inside the kernel walks, runs the
-interp-seeded candidate ladder (_bracket_search), and assembles final
-byte streams.
+(segment geometry, noise decisions, monotone importance keys) into the
+kernel's planes, prices the per-segment tail tokens inside the kernel
+walks, runs the interp-seeded candidate ladder (_bracket_search), and
+assembles final byte streams.
 
-Active when the batch is a multiple of 8 streams and P <= 16384 on a
-TPU backend; otherwise the scan path (ulcx.bitstream.encode) is used.
+Active when the batch is a multiple of 8 streams and P <= 32768 (the
+reference's full block envelope, ulcEncoder.c:21) on a TPU backend;
+otherwise the scan path (ulcx.bitstream.encode) is used.
 Batches that are not a multiple of the kernel's 128-lane width are
 padded up (the kernel rounds are latency-bound on the serial P-walk,
 so unused lanes cost nothing). Semantics: noise_run_window="segment"

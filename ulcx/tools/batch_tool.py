@@ -80,10 +80,13 @@ def main(argv=None) -> int:
     else:
         mode, kw = "cbr", {"rate_kbps": rate_kbps}
 
+    from ulcx.utils.compileopts import jit_options
+
     enc_fn = jax.jit(
         lambda blocks, carry: encode_stream_batched(
             blocks, cfg, mode, carry=carry, **kw
-        )
+        ),
+        compiler_options=jit_options(),
     )
 
     os.makedirs(out_dir, exist_ok=True)

@@ -77,10 +77,13 @@ def main(argv=None) -> int:
     stream = np.concatenate([stream, np.zeros(window + 64, np.uint8)])
     stream_j = jnp.asarray(stream)
 
+    from ulcx.utils.compileopts import jit_options
+
     dec_fn = jax.jit(
         lambda s, off, carry: decode_stream(
             s, chunk, window, cfg, offset=off, carry=carry
-        )
+        ),
+        compiler_options=jit_options(default="lo"),
     )
 
     from ulcx.codec.decoder import DecoderCarry

@@ -101,8 +101,11 @@ def main(argv=None) -> int:
     else:
         mode, kw = "cbr", {"rate_kbps": rate_kbps}
 
+    from ulcx.utils.compileopts import jit_options
+
     enc_fn = jax.jit(
-        lambda blocks, carry: encode_stream(blocks, cfg, mode, carry=carry, **kw)
+        lambda blocks, carry: encode_stream(blocks, cfg, mode, carry=carry, **kw),
+        compiler_options=jit_options(default="lo"),
     )
 
     header = UlcHeader(
