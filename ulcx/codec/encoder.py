@@ -330,15 +330,36 @@ def encode_stream_batched(blocks, cfg: CodecConfig, mode: str, carry=None, **kw)
 
 
 def encode_stream(blocks: jnp.ndarray, cfg: CodecConfig, mode: str, carry=None, **kw):
-    """Encode [T, C, N] deinterleaved PCM blocks. Returns
+    """Encode [T, C, N] deinterleaved PCM blocks of ONE stream. Returns
     (EncodedBlock arrays stacked over T, final carry); pass the carry
-    back in to continue a stream chunk by chunk."""
+    back in to continue a stream chunk by chunk.
 
-    def step(carry, blk):
-        carry, enc = encode_block(carry, blk, cfg, mode, **kw)
-        return carry, enc
+    A single stream has no batch axis, so the block axis becomes one:
+    this routes through encode_stream_batched with fold_bitstream = T —
+    analysis stays a per-block scan (identical per-block shapes, so the
+    output is bit-invariant to how the stream is chunked, which the
+    checkpoint/resume contract relies on), while the prepare/kernel/
+    assemble bitstream stages run ONCE over all T blocks as a batch
+    (the Pallas kernel path engages on TPU when T % 8 == 0; the encode
+    tool pads its chunks to 64). The per-block-scan bitstream form
+    measured 0.2x REALTIME warm on the chip (NOTES.md round-4 log)
+    because every stage ran at batch 1.
+
+    cfg.flat_stream=True additionally folds ANALYSIS over blocks
+    (fastest single-stream form) — but the batched transform's matmul
+    accumulation then depends on T, so encoded bytes can wobble at
+    float boundaries with the chunk size (sizes/quality unaffected);
+    opt-in only."""
+    import dataclasses
 
     if carry is None:
         carry = EncoderCarry.init(cfg)
-    carry, out = lax.scan(step, carry, blocks)
-    return out, carry
+    t = blocks.shape[0]
+    if not cfg.flat_stream and cfg.fold_bitstream != t:
+        cfg = dataclasses.replace(cfg, fold_bitstream=t)
+    carry_b = jax.tree_util.tree_map(lambda x: x[None], carry)
+    out, carry_b = encode_stream_batched(
+        blocks[None], cfg, mode, carry=carry_b, **kw
+    )
+    out = jax.tree_util.tree_map(lambda x: x[0], out)
+    return out, jax.tree_util.tree_map(lambda x: x[0], carry_b)
