@@ -52,12 +52,12 @@ def _from_lanes(x, b):
     return y.reshape(-1, x.shape[1])[:b]
 
 
-def decode_block_fast(windows, rng_state, cfg: CodecConfig, interpret=False):
-    """windows: [B, W] uint8 at block starts; rng_state [B] uint32.
-    Returns (coefs [B, C, N], window_ctrl [B], bits [B], corrupt [B],
-    new_rng [B])."""
-    n, c = cfg.block_size, cfg.n_chan
-    p_tot = n * c
+def fsm_records(windows, cfg: CodecConfig, interpret=False):
+    """FSM pass only: windows [B, W] uint8 at block starts ->
+    (rec [B, R], code [B, R], wc [B], hdr [B], consumed [B],
+    corrupt [B] i32)."""
+    n = cfg.block_size
+    p_tot = n * cfg.n_chan
     b, w_bytes = windows.shape
 
     lo = (windows & 0xF).astype(jnp.int32)
@@ -83,15 +83,17 @@ def decode_block_fast(windows, rng_state, cfg: CodecConfig, interpret=False):
     code = _from_lanes(code, b)
     consumed = consumed.reshape(-1)[:b]
     corrupt = corrupt.reshape(-1)[:b]
+    return rec, code, wc, hdr, consumed, corrupt
 
-    # --- expansion: place records at their start positions with ONE
-    # masked scatter of a single packed word (flags + level/decay/
-    # quantizer codes), forward-fill ONLY the 1-bit draw flag outside
-    # (one associative scan); value reconstruction, fill, RNG replay,
-    # and coefficient assembly all fuse into one Pallas kernel
-    # (pd.rng_expand_kernel_call). Round 2 used three scatters (meta +
-    # sparse f32 lvl/dcy) — scatters are the pathological op on this
-    # backend, so the codes ride the meta word instead ---
+
+def records_to_flags(rec, code, p_tot: int):
+    """Expansion inputs: place records at their start positions with ONE
+    masked scatter of a single packed word (flags + level/decay/
+    quantizer codes), forward-fill ONLY the 1-bit draw flag (one
+    associative scan). Round 2 used three scatters (meta + sparse f32
+    lvl/dcy) — scatters are the pathological op on this backend, so the
+    codes ride the meta word instead. Returns flags [B, p_tot] i32."""
+    b = rec.shape[0]
     rtype = (rec >> 26) & 0x7
     start = rec & 0x1FFF
     emit = rtype != 0
@@ -115,9 +117,16 @@ def decode_block_fast(windows, rng_state, cfg: CodecConfig, interpret=False):
         return jnp.where((r & 1) == 1, r, l)
 
     filled = lax.associative_scan(combine, meta_s, axis=1)
-    flags = meta_s | (((filled >> 1) & 1) << 30)
+    return meta_s | (((filled >> 1) & 1) << 30)
 
-    flags_l, g2, pad2 = _to_lanes(flags, b)
+
+def expand_coefs(flags, rng_state, p_tot: int, interpret=False):
+    """Fused RNG replay + record fill + coefficient assembly
+    (pd.rng_expand_kernel_call). flags [B, p_tot] i32 from
+    records_to_flags; rng_state [B] u32. The RNG state advances exactly
+    once per draw-flagged position (bit 30), so new_rng equals the seed
+    stepped popcount(draw) times. Returns (coefs [B, p_tot], new_rng)."""
+    flags_l, g2, pad2 = _to_lanes(flags, flags.shape[0])
     seed_l = (
         jnp.concatenate([rng_state, jnp.full((pad2,), 1234567, jnp.uint32)])
         if pad2
@@ -128,9 +137,19 @@ def decode_block_fast(windows, rng_state, cfg: CodecConfig, interpret=False):
         return pd.rng_expand_kernel_call(fl, sd, p_tot, interpret)
 
     coefs, new_seed = jax.vmap(one_rng)(flags_l, seed_l)
-    coefs = _from_lanes(coefs, b)
-    new_seed = new_seed.reshape(-1)[:b]
+    return _from_lanes(coefs, flags.shape[0]), new_seed.reshape(-1)[: flags.shape[0]]
 
+
+def decode_block_fast(windows, rng_state, cfg: CodecConfig, interpret=False):
+    """windows: [B, W] uint8 at block starts; rng_state [B] uint32.
+    Returns (coefs [B, C, N], window_ctrl [B], bits [B], corrupt [B],
+    new_rng [B])."""
+    n, c = cfg.block_size, cfg.n_chan
+    p_tot = n * c
+    b = windows.shape[0]
+    rec, code, wc, hdr, consumed, corrupt = fsm_records(windows, cfg, interpret)
+    flags = records_to_flags(rec, code, p_tot)
+    coefs, new_seed = expand_coefs(flags, rng_state, p_tot, interpret)
     coefs = jnp.where(corrupt[:, None] == 1, 0.0, coefs)
     bits = 4 * (hdr + consumed)
     return coefs.reshape(b, c, n), wc, bits, corrupt == 1, new_seed

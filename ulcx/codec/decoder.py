@@ -185,3 +185,113 @@ def decode_stream(
         carry = DecoderCarry.init(cfg)
     state, (pcm, bits, corrupt) = lax.scan(step, (offset, carry), None, length=n_blocks)
     return pcm, bits, corrupt, state
+
+
+def decode_stream_pipelined(
+    stream: jnp.ndarray,
+    n_blocks: int,
+    window_bytes: int,
+    cfg: CodecConfig,
+    offset=None,
+    carry=None,
+    interpret: bool = False,
+):
+    """Single-stream decode with the serial work cut to the FSM alone.
+
+    decode_stream runs the FULL per-block pipeline inside the block
+    scan; at batch 1 the backend's per-step fixed costs made the CLI
+    decode tool ~0.7x realtime (NOTES.md round-4 log). The block chain
+    has exactly three cross-block dependencies, and each one unlocks:
+
+      offsets  — bits consumed come out of the FSM, so a lean FSM-only
+                 scan (kernel FSM + window word-slicing, nothing else)
+                 resolves every block start;
+      RNG      — the reference's stream-global xorshift32 advances once
+                 per draw position, so per-block draw counts (popcount
+                 of the filled draw flags) + GF(2) jump-ahead
+                 (ulcx.ops.rngjump) give every block its exact entry
+                 seed;
+      lap      — new_lap depends only on the CURRENT block's synthesis
+                 (the previous block's contribution never reaches the
+                 spill region — transform_batched.block_imdct_batched),
+                 so laps compute in one batched pass and shift by one.
+
+    Everything after the FSM scan (expansion, RNG replay, double IMDCT,
+    M/S) then runs ONCE over all n_blocks as a batch. The second IMDCT
+    pass (laps, then pcm with shifted laps) costs 2x transform FLOPs —
+    MXU-cheap against the per-block fixed costs it removes.
+
+    Same interface/results as decode_stream: (pcm [T, C, N], bits [T],
+    corrupt [T], (offset, carry)); bits and RNG integer state are
+    exact, pcm is float-level equal (batched IMDCT accumulation).
+    """
+    from ulcx.bitstream.fast_decode import (
+        expand_coefs,
+        fsm_records,
+        records_to_flags,
+    )
+    from ulcx.codec.transform_batched import (
+        block_imdct_batched,
+        last_subblock_size,
+    )
+    from ulcx.ops.rngjump import jump
+
+    n, c = cfg.block_size, cfg.n_chan
+    p_tot = n * c
+    if offset is None:
+        offset = jnp.int32(0)
+    if carry is None:
+        carry = DecoderCarry.init(cfg)
+
+    # word-pack the stream once (byte-granular u8 slices are the decode
+    # path's costliest op on this backend — see decode_stream_batched)
+    s_pad = (-stream.shape[0]) % 4
+    sw = jnp.concatenate([stream, jnp.zeros(s_pad + 4, jnp.uint8)]).reshape(-1, 4)
+    sw = jnp.sum(
+        sw.astype(jnp.int32) << (8 * jnp.arange(4))[None, :],
+        axis=-1,
+        dtype=jnp.int32,
+    )
+    n_words = window_bytes // 4 + 1
+
+    def fsm_step(off, _):
+        words = lax.dynamic_slice(sw, (off >> 2,), (n_words,))
+        sh = (8 * jnp.arange(4)).astype(jnp.int32)
+        byt = ((words[:, None] >> sh[None, :]) & 0xFF).astype(jnp.uint8)
+        byt = byt.reshape(4 * n_words)
+        window = byt[0:window_bytes]
+        for k in (1, 2, 3):
+            window = jnp.where(
+                (off & 3) == k, byt[k : k + window_bytes], window
+            )
+        rec, code, wc, hdr, consumed, corrupt = fsm_records(
+            window[None], cfg, interpret
+        )
+        bits = 4 * (hdr[0] + consumed[0])
+        off = off + (bits + 7) // 8
+        return off, (rec[0], code[0], wc[0], bits, corrupt[0])
+
+    offset_out, (rec, code, wc, bits, corrupt) = lax.scan(
+        fsm_step, jnp.asarray(offset, jnp.int32), None, length=n_blocks
+    )
+
+    flags = records_to_flags(rec, code, p_tot)  # [T, p_tot]
+    draws = jnp.sum((flags >> 30) & 1, axis=1)
+    cum_excl = jnp.cumsum(draws) - draws
+    seeds = jump(jnp.broadcast_to(carry.rng, cum_excl.shape), cum_excl)
+    coefs, seed_after = expand_coefs(flags, seeds, p_tot, interpret)
+    coefs = jnp.where(corrupt[:, None] == 1, 0.0, coefs)
+    coefs = coefs.reshape(n_blocks, c, n)
+
+    last_ss = last_subblock_size(wc, cfg)
+    prev_ss = jnp.concatenate([carry.prev_last_ss[None], last_ss[:-1]])
+    zlap = jnp.zeros((n_blocks, c, n // 2), jnp.float32)
+    _, new_lap, _ = block_imdct_batched(coefs, wc, zlap, prev_ss, cfg)
+    lap_in = jnp.concatenate([carry.lap[None], new_lap[:-1]])
+    pcm, _, _ = block_imdct_batched(coefs, wc, lap_in, prev_ss, cfg)
+    pcm = inverse_ms(pcm)
+
+    new_carry = DecoderCarry(
+        lap=new_lap[-1], prev_last_ss=last_ss[-1], rng=seed_after[-1]
+    )
+    return pcm, bits, corrupt == 1, (offset_out, new_carry)

@@ -189,6 +189,18 @@ def _next_active(act, ki: int):
     return jnp.argmin(key, axis=-1)
 
 
+def last_subblock_size(window_ctrl, cfg: CodecConfig):
+    """Final subblock size of each block's pattern [..] i32 — what the
+    NEXT block's overlap clamp sees (reference ulcDecoder.c:233-239).
+    Depends only on window_ctrl, which is what lets the pipelined
+    single-stream decoder batch the lap chain (decode_stream_pipelined):
+    prev_last_ss for block t is just last_subblock_size(wc[t-1])."""
+    t = candidate_tables(cfg.block_size)
+    act = jnp.asarray(t["act"])[window_ctrl >> 4]
+    shifts = jnp.asarray(np.array([c for c, _ in candidate_list()], np.int32))
+    return (cfg.block_size >> shifts[_last_active(act)]).astype(jnp.int32)
+
+
 def block_mdct_mdst_batched(samples, window_ctrl, prev_last_ss, next_overlap, cfg):
     """Batched forward transform: samples [B,C,2N] -> (mdct, mdst) [B,C,N]."""
     n = cfg.block_size

@@ -79,12 +79,33 @@ def main(argv=None) -> int:
 
     from ulcx.utils.compileopts import jit_options
 
-    dec_fn = jax.jit(
-        lambda s, off, carry: decode_stream(
-            s, chunk, window, cfg, offset=off, carry=carry
-        ),
-        compiler_options=jit_options(default="lo"),
+    # the pipelined decoder keeps only the FSM serial and batches
+    # expansion/RNG/IMDCT over the chunk's blocks — the per-block scan
+    # measured 0.7x realtime warm through the tool (NOTES.md round-4
+    # log); gate mirrors batch_decode (kernel FSM holds P <= 8192)
+    use_pipelined = (
+        cfg.use_pallas != "off"
+        and (cfg.use_pallas == "on" or jax.default_backend() not in ("cpu",))
+        and cfg.n_chan * cfg.block_size <= 8192
     )
+    if use_pipelined:
+        from ulcx.codec.decoder import decode_stream_pipelined
+        from ulcx.utils.config import mosaic_interpret
+
+        dec_fn = jax.jit(
+            lambda s, off, carry: decode_stream_pipelined(
+                s, chunk, window, cfg, offset=off, carry=carry,
+                interpret=mosaic_interpret(),
+            ),
+            compiler_options=jit_options(default="lo"),
+        )
+    else:
+        dec_fn = jax.jit(
+            lambda s, off, carry: decode_stream(
+                s, chunk, window, cfg, offset=off, carry=carry
+            ),
+            compiler_options=jit_options(default="lo"),
+        )
 
     from ulcx.codec.decoder import DecoderCarry
 
