@@ -153,15 +153,15 @@ def test_sort_kv_lanes2_split_form():
 
 
 def test_use_kv_kernel_gate(monkeypatch):
-    """Dispatch: default engages only at P>=8192 (the measured win),
-    ULCX_SORTK=1 forces anywhere sortable, =0 disables, interpret mode
-    always falls back."""
+    """Dispatch: DEFAULT OFF (end-to-end loss despite the isolated win
+    — see use_kv_kernel docstring); ULCX_SORTK=1 forces anywhere
+    sortable, interpret mode always falls back."""
     monkeypatch.delenv("ULCX_SORTK", raising=False)
-    assert use_kv_kernel(8192, 128, interpret=False)
-    assert not use_kv_kernel(4096, 128, interpret=False)  # neutral: off
-    assert not use_kv_kernel(8192, 128, interpret=True)
+    assert not use_kv_kernel(8192, 128, interpret=False)
+    assert not use_kv_kernel(4096, 128, interpret=False)
     monkeypatch.setenv("ULCX_SORTK", "1")
     assert use_kv_kernel(4096, 128, interpret=False)
+    assert use_kv_kernel(8192, 128, interpret=False)
     assert not use_kv_kernel(4096, 128, interpret=True)
     assert not use_kv_kernel(256, 8, interpret=False)  # not sortable
     monkeypatch.setenv("ULCX_SORTK", "0")

@@ -341,17 +341,25 @@ def sort_kv_lanes2(key, val, interpret: bool = False):
 
 
 def use_kv_kernel(p: int, lan: int, interpret: bool) -> bool:
-    """Default dispatch for the lane kv sorts: hardware A/B
-    (devtools/sortk_bench.py, 2026-08-19) measured the kernel ~10%
-    faster than lax.sort at P=8192 and NEUTRAL at P=4096, so the
-    default engages only where it wins (the extra Mosaic compile isn't
-    worth a wash). ULCX_SORTK=1 forces it wherever sortable;
-    ULCX_SORTK=0 disables. Interpret mode always falls back (the eager
-    ~78-substage network is minutes-slow on CPU; the kernels have
-    their own direct equality tests)."""
+    """Dispatch for the lane kv sorts — DEFAULT OFF everywhere.
+
+    The isolated hardware A/B (devtools/sortk_bench.py, 2026-08-19)
+    measured the kernels ~10% faster than lax.sort at P=8192, but the
+    END-TO-END bs4096 bench with them engaged measured 1803.7x vs
+    2128.8x with them off (-15%; bench_configs stereo_abr128_bs4096,
+    same session) — the same verdict that retired the round-3 rank
+    kernel: in the full pipeline XLA overlaps the bandwidth-bound sort
+    stages with the latency-bound Pallas walks, so their HBM cost
+    largely hides, while the VPU-bound bitonic network competes with
+    the walks for issue slots. Isolated sort timing does not transfer.
+
+    ULCX_SORTK=1 forces the kernels wherever sortable (kept: correct,
+    tested, hardware-EXACT — devtools/sortk_check.py — and a future
+    backend may flip the tradeoff). Interpret mode always falls back
+    (the eager ~78-substage network is minutes-slow on CPU)."""
     import os
 
     env = os.environ.get("ULCX_SORTK", "auto")
     if env == "0" or interpret or not sortable(p, lan):
         return False
-    return env == "1" or p >= 8192
+    return env == "1"
