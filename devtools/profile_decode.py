@@ -1,6 +1,9 @@
 """Device-trace one bench decode step and print the top ops by time.
 
 Usage: python devtools/profile_decode.py [trace_dir]
+Env: ULCX_PROF_NCHAN, ULCX_PROF_BS, ULCX_PROF_T, ULCX_PROF_MODE
+(cbr|abr|vbr), ULCX_PROF_KBPS / ULCX_PROF_Q — pick the bench config to
+trace (defaults: stereo CBR-128 bs2048 T=8).
 """
 
 from __future__ import annotations
@@ -22,10 +25,22 @@ def main():
     from ulcx.utils.config import CodecConfig
     from bench import make_corpus
 
-    b, t, n = 512, 8, 2048
-    cfg = CodecConfig(rate_hz=44100, n_chan=2, block_size=n)
-    blocks = jnp.asarray(make_corpus(b, t, n))
-    enc = jax.jit(lambda x: batch_encode(x, cfg, "cbr", rate_kbps=128.0))
+    env = os.environ.get
+    b = int(env("ULCX_PROF_B", "512"))
+    t = int(env("ULCX_PROF_T", "8"))
+    n = int(env("ULCX_PROF_BS", "2048"))
+    c = int(env("ULCX_PROF_NCHAN", "2"))
+    mode = env("ULCX_PROF_MODE", "cbr")
+    kw = (
+        {"quality": float(env("ULCX_PROF_Q", "50"))}
+        if mode == "vbr"
+        else {"rate_kbps": float(env("ULCX_PROF_KBPS", "128"))}
+    )
+    if mode == "abr":
+        kw["avg_complexity"] = 0.5
+    cfg = CodecConfig(rate_hz=44100, n_chan=c, block_size=n)
+    blocks = jnp.asarray(make_corpus(b, t, n)[:, :, :c])
+    enc = jax.jit(lambda x: batch_encode(x, cfg, mode, **kw))
     o, _ = enc(blocks)
     sizes = np.asarray(o.size_bits)
     datas = np.asarray(o.data)

@@ -89,10 +89,13 @@ def fsm_records(windows, cfg: CodecConfig, interpret=False):
 def records_to_flags(rec, code, p_tot: int):
     """Expansion inputs: place records at their start positions with ONE
     masked scatter of a single packed word (flags + level/decay/
-    quantizer codes), forward-fill ONLY the 1-bit draw flag (one
-    associative scan). Round 2 used three scatters (meta + sparse f32
+    quantizer codes). Round 2 used three scatters (meta + sparse f32
     lvl/dcy) — scatters are the pathological op on this backend, so the
-    codes ride the meta word instead. Returns flags [B, p_tot] i32."""
+    codes ride the meta word instead. Round 4 removed the draw-bit
+    forward fill that used to follow (the RNG kernel latches it at
+    record starts itself) and marked the scatter unique (emitted record
+    starts are strictly increasing — every record advances the position
+    by >= 1 nybble-decoded coefficient). Returns flags [B, p_tot] i32."""
     b = rec.shape[0]
     rtype = (rec >> 26) & 0x7
     start = rec & 0x1FFF
@@ -110,22 +113,32 @@ def records_to_flags(rec, code, p_tot: int):
         0,
     )
     zi = jnp.zeros((b, p_tot), jnp.int32)
-    meta_s = zi.at[bidx, tgt].set(meta, mode="drop")
+    return zi.at[bidx, tgt].set(meta, mode="drop", unique_indices=True)
 
-    # forward fill of the draw bit: packed single-array scan
+
+def draw_counts(flags):
+    """Per-stream count of RNG-draw positions, matching the kernel's
+    in-loop latch exactly (a draw record's region extends to the NEXT
+    record start — or the plane end for the final record, which is how
+    a corrupt/truncated stream behaves on both decode paths). One
+    associative scan over the [B, P] plane; used only by the pipelined
+    single-stream path (decode_stream_pipelined), where it runs ONCE
+    for all blocks, never inside the per-block hot loop."""
+
     def combine(l, r):
         return jnp.where((r & 1) == 1, r, l)
 
-    filled = lax.associative_scan(combine, meta_s, axis=1)
-    return meta_s | (((filled >> 1) & 1) << 30)
+    filled = lax.associative_scan(combine, flags, axis=flags.ndim - 1)
+    return jnp.sum((filled >> 1) & 1, axis=flags.ndim - 1)
 
 
 def expand_coefs(flags, rng_state, p_tot: int, interpret=False):
     """Fused RNG replay + record fill + coefficient assembly
     (pd.rng_expand_kernel_call). flags [B, p_tot] i32 from
     records_to_flags; rng_state [B] u32. The RNG state advances exactly
-    once per draw-flagged position (bit 30), so new_rng equals the seed
-    stepped popcount(draw) times. Returns (coefs [B, p_tot], new_rng)."""
+    once per draw position (the kernel latches the record's draw bit at
+    each start), so new_rng equals the seed stepped draw_counts(flags)
+    times. Returns (coefs [B, p_tot], new_rng)."""
     flags_l, g2, pad2 = _to_lanes(flags, flags.shape[0])
     seed_l = (
         jnp.concatenate([rng_state, jnp.full((pad2,), 1234567, jnp.uint32)])

@@ -345,23 +345,29 @@ def _rng_expand_kernel(flags_ref, seed_ref, coef_ref, seed_out_ref,
     flags[p] is ONE packed word per position (sparse fields live at
     record starts only): bit0 = record start, bit1 = draw record,
     bit2 = coded-coefficient record, bit3 = tail record,
-    a<<4 | dn<<9 | qi<<17 level/decay codes, bit30 = draw (from the
-    outside 1-bit forward fill). Level/decay floats are reconstructed
-    here with the exact expressions the FSM used to emit (bit-identical;
-    see _fsm_kernel) — one input plane instead of flags+lvl+dcy. Tail
-    decay runs as the reference's sequential ``mag *= r``
-    (ulcDecoder.c:186).
+    a<<4 | dn<<9 | qi<<17 level/decay codes. The draw bit is LATCHED
+    in-kernel at record starts (records tile the positions, so the
+    latch IS the forward fill) — round 4 removed the outside [B, P]
+    associative scan that used to fill it, the decode scan body's
+    second-costliest stage after the record scatter. Level/decay floats
+    are reconstructed here with the exact expressions the FSM used to
+    emit (bit-identical; see _fsm_kernel) — one input plane instead of
+    flags+lvl+dcy. Tail decay runs as the reference's sequential
+    ``mag *= r`` (ulcDecoder.c:186).
 
-    Every carried value updates under predicates derived from INPUTS
-    (mark/draw bits), never from another carry — the acyclic shape the
-    Mosaic backend compiles (NOTES.md Mosaic bug).
+    Carry-dependence shape: every carry that GATES another carry's
+    update (the draw latch gating state/parity, dcy gating mag) is
+    itself updated only under input-derived predicates (the start bit)
+    — the acyclic shape the Mosaic backend compiles (NOTES.md Mosaic
+    bug).
     """
 
     def body(p, carry):
-        state, parity, lvl, mag, dcy = carry
+        state, parity, drw, lvl, mag, dcy = carry
         f = flags_ref[p, :]
-        draw = (f >> 30) == 1
         st = (f & 1) == 1
+        drw = jnp.where(st, ((f >> 1) & 1).astype(jnp.uint32), drw)
+        draw = drw == jnp.uint32(1)
         is_coef = (f & 4) == 4
         is_tail = (f & 8) == 8
         a = (f >> 4) & 0x1F
@@ -399,12 +405,13 @@ def _rng_expand_kernel(flags_ref, seed_ref, coef_ref, seed_out_ref,
         )
         # decay only inside tail runs (noise records carry dcy == 0)
         mag = jnp.where(draw & (dcy != 0.0), mag * dcy, mag)
-        return state, parity, lvl, mag, dcy
+        return state, parity, drw, lvl, mag, dcy
 
     z = jnp.zeros((LANES,), jnp.float32)
-    state, _, _, _, _ = lax.fori_loop(
+    zu = jnp.zeros((LANES,), jnp.uint32)
+    state, _, _, _, _, _ = lax.fori_loop(
         0, p_tot, body,
-        (seed_ref[0, :], jnp.zeros((LANES,), jnp.uint32), z, z, z),
+        (seed_ref[0, :], zu, zu, z, z, z),
         unroll=UNROLL,
     )
     seed_out_ref[0, :] = state

@@ -226,6 +226,7 @@ def decode_stream_pipelined(
     exact, pcm is float-level equal (batched IMDCT accumulation).
     """
     from ulcx.bitstream.fast_decode import (
+        draw_counts,
         expand_coefs,
         fsm_records,
         records_to_flags,
@@ -276,7 +277,7 @@ def decode_stream_pipelined(
     )
 
     flags = records_to_flags(rec, code, p_tot)  # [T, p_tot]
-    draws = jnp.sum((flags >> 30) & 1, axis=1)
+    draws = draw_counts(flags)
     cum_excl = jnp.cumsum(draws) - draws
     seeds = jump(jnp.broadcast_to(carry.rng, cum_excl.shape), cum_excl)
     coefs, seed_after = expand_coefs(flags, seeds, p_tot, interpret)
