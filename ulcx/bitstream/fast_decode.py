@@ -86,22 +86,51 @@ def fsm_records(windows, cfg: CodecConfig, interpret=False):
     return rec, code, wc, hdr, consumed, corrupt
 
 
+def _mm_place(emit, start, meta, p_tot: int):
+    """Record placement as a factorized one-hot int8 matmul on the MXU.
+
+    plane[b, hi*128 + lo] = sum_r onehot_hi(start) * meta * onehot_lo
+    with meta split into four 7-bit parts so every operand fits int8
+    and the s32 accumulation is exact integer arithmetic (each position
+    receives at most ONE record — starts are strictly increasing).
+    Probe (devtools/recscatter_probe.py, TPU): 1.7x faster than the
+    .at[].set scatter at the bs2048 shape."""
+    b, r = meta.shape
+    nhi = p_tot // 128
+    hi = jnp.where(emit, start >> 7, nhi)  # nhi = off-grid drop bucket
+    lo = start & 127
+    kk = jnp.arange(4, dtype=jnp.int32)
+    parts = (meta[:, None, :] >> (7 * kk[None, :, None])) & 0x7F  # [B,4,R]
+    hgrid = jnp.arange(nhi, dtype=jnp.int32)
+    oh_hi = hi[:, None, :] == hgrid[None, :, None]  # [B,nhi,R]
+    u = (oh_hi[:, None] * parts[:, :, None]).astype(jnp.int8)
+    u = u.reshape(b, 4 * nhi, r)
+    lgrid = jnp.arange(128, dtype=jnp.int32)
+    v = ((lo[:, :, None] == lgrid[None, None, :]) & emit[:, :, None])
+    v = v.astype(jnp.int8)  # [B,R,128]
+    out = lax.dot_general(
+        u, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    ).reshape(b, 4, nhi, 128)
+    sh = (7 * kk)[None, :, None, None]
+    return jnp.sum(out << sh, axis=1).reshape(b, p_tot)
+
+
 def records_to_flags(rec, code, p_tot: int):
-    """Expansion inputs: place records at their start positions with ONE
-    masked scatter of a single packed word (flags + level/decay/
-    quantizer codes). Round 2 used three scatters (meta + sparse f32
-    lvl/dcy) — scatters are the pathological op on this backend, so the
-    codes ride the meta word instead. Round 4 removed the draw-bit
-    forward fill that used to follow (the RNG kernel latches it at
-    record starts itself) and marked the scatter unique (emitted record
-    starts are strictly increasing — every record advances the position
-    by >= 1 nybble-decoded coefficient). Returns flags [B, p_tot] i32."""
+    """Expansion inputs: place records at their start positions — ONE
+    packed word per record (flags + level/decay/quantizer codes).
+    Round 2 used three scatters (meta + sparse f32 lvl/dcy); round 4
+    replaced the remaining scatter with the _mm_place int8 matmul (the
+    scatter was 62% of batched decode device time) and removed the
+    draw-bit forward fill that used to follow (the RNG kernel latches
+    it at record starts itself). ULCX_RECSCATTER=scatter restores the
+    .at[].set form. Returns flags [B, p_tot] i32."""
+    import os
+
     b = rec.shape[0]
     rtype = (rec >> 26) & 0x7
     start = rec & 0x1FFF
     emit = rtype != 0
-    bidx = jnp.arange(b)[:, None]
-    tgt = jnp.where(emit, start, p_tot)  # non-records -> drop slot
 
     draw_rec = (rtype == REC_NOISE) | (rtype == REC_TAIL)
     meta = jnp.where(
@@ -112,6 +141,10 @@ def records_to_flags(rec, code, p_tot: int):
         | (code << 4),
         0,
     )
+    if p_tot % 128 == 0 and os.environ.get("ULCX_RECSCATTER", "mm") != "scatter":
+        return _mm_place(emit, start, meta, p_tot)
+    bidx = jnp.arange(b)[:, None]
+    tgt = jnp.where(emit, start, p_tot)  # non-records -> drop slot
     zi = jnp.zeros((b, p_tot), jnp.int32)
     return zi.at[bidx, tgt].set(meta, mode="drop", unique_indices=True)
 
