@@ -42,10 +42,28 @@ def v_gat(stream, offs):
     return jnp.take_along_axis(stream, idx, axis=1)
 
 
+def v_lgat(stream, offs):
+    """One lax.gather of [1, N_WORDS] contiguous slices (row-granular),
+    instead of vmap(dynamic_slice)'s 512-iteration while loop."""
+    b = stream.shape[0]
+    starts = jnp.stack(
+        [jnp.arange(b, dtype=jnp.int32), offs.astype(jnp.int32)], axis=1
+    )  # [B, 2] = (row, word offset)
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1,),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0, 1),
+    )
+    return lax.gather(
+        stream, starts, dnums, slice_sizes=(1, N_WORDS),
+        mode=lax.GatherScatterMode.CLIP,
+    )
+
+
 def main():
     stream, offs = make_inputs()
-    variants = {"vds": v_vds, "gat": v_gat}
-    want = sys.argv[1:] or ["vds", "gat"]
+    variants = {"vds": v_vds, "gat": v_gat, "lgat": v_lgat}
+    want = sys.argv[1:] or ["vds", "gat", "lgat"]
 
     ref = None
     for name in want:
