@@ -11,7 +11,7 @@ even while the TPU tunnel is down.
 Usage:
   python devtools/aot_check.py encode [B T BS]   # default 512 64 2048
   python devtools/aot_check.py decode [B T BS]
-Env: ULCX_V3_THIN / ULCX_KERNEL_UNROLL / ULCX_BENCH_FOLD as in bench.py.
+Env: ULCX_KERNEL_UNROLL / ULCX_BENCH_FOLD as in bench.py.
 """
 
 from __future__ import annotations
@@ -69,7 +69,7 @@ def main():
     t2 = time.perf_counter()
     ma = compiled.memory_analysis()
     print(
-        f"{what} B={b} T={t} bs={n} thin={os.environ.get('ULCX_V3_THIN','0')} "
+        f"{what} B={b} T={t} bs={n} "
         f"unroll={os.environ.get('ULCX_KERNEL_UNROLL','full')} "
         f"fold={cfg.fold_bitstream}: "
         f"lower {t1 - t0:.1f}s compile {t2 - t1:.1f}s  "

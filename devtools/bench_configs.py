@@ -187,7 +187,6 @@ def main():
     if (
         os.environ.get("ULCX_BENCH_TBACKEND", "auto") != "auto"
         or os.environ.get("ULCX_BENCH_MAXN", "2048") != "2048"
-        or os.environ.get("ULCX_SORTK", "auto") != "auto"
         or os.environ.get("ULCX_COMPILE_EFFORT", "")
     ):
         print("non-default transform knobs: skipping bench_configs.json write")

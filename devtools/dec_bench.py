@@ -23,9 +23,6 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from ulcx.bitstream import pallas_decode as pd
-    from ulcx.bitstream.fast_decode import _ffill, _from_lanes, _to_lanes
-    from ulcx.bitstream.decode import REC_COEF, REC_NOISE, REC_TAIL
     from ulcx.codec.decoder import inverse_ms
     from ulcx.codec.transform_batched import block_imdct_batched
     from ulcx.parallel.mesh import batch_encode
@@ -94,8 +91,17 @@ def main():
         return jax.jit(fn)
 
     def make(stage):
+        """Stage-cut variants composed from the PRODUCTION pipeline
+        functions (fsm_records / records_to_flags / expand_coefs /
+        block_imdct_batched), cut after the named stage."""
         if stage in ("blkfast", "full"):
             return make_real(stage)
+        from ulcx.bitstream.fast_decode import (
+            expand_coefs,
+            fsm_records,
+            records_to_flags,
+        )
+
         def step(state, _):
             offset, lap, prev_ss, rng = state
             windows = jax.vmap(
@@ -108,80 +114,21 @@ def main():
                     jnp.sum(windows.astype(jnp.int32)),
                 )
 
-            lo = (windows & 0xF).astype(jnp.int32)
-            hi = (windows >> 4).astype(jnp.int32)
-            nyb = jnp.stack([lo, hi], axis=-1).reshape(b, 2 * win)
-            wc0 = nyb[:, 0]
-            has2 = (wc0 & 0x8) != 0
-            wc = jnp.where(has2, wc0 | (nyb[:, 1] << 4), wc0 | (1 << 4)).astype(
-                jnp.int32
+            rec, code, wc, hdr, consumed, corrupt = fsm_records(
+                windows, cfg, False
             )
-            hdr = jnp.where(has2, 2, 1).astype(jnp.int32)
-            t_len = 2 * win - 2
-            tokens = jnp.where(
-                has2[:, None], nyb[:, 2 : t_len + 2], nyb[:, 1 : t_len + 1]
-            )
-            tok_l, g, pad = _to_lanes(tokens, b)
-            wc_l = wc.reshape(g, pd.LANES)
-            rec, code, consumed, corrupt = jax.vmap(
-                lambda w_, tk: pd.fsm_kernel_call(w_, tk, p_tot, n, False)
-            )(wc_l, tok_l)
-            rec = _from_lanes(rec, b)
-            code = _from_lanes(code, b)
-            consumed = consumed.reshape(-1)[:b]
-            corrupt = corrupt.reshape(-1)[:b]
             bits = 4 * (hdr + consumed)
             offset = offset + (bits + 7) // 8
             if stage == "fsm":
                 return (offset, lap, prev_ss, rng), (
-                    jnp.sum(rec) + jnp.sum(lvl) + jnp.sum(corrupt),
+                    jnp.sum(rec) + jnp.sum(code) + jnp.sum(corrupt),
                 )
 
-            rtype = (rec >> 26) & 0x7
-            start = rec & 0x1FFF
-            emit = rtype != 0
-            bidx = jnp.arange(b)[:, None]
-            tgt = jnp.where(emit, start, p_tot)
-
-            def scat(vals, dtype):
-                return jnp.zeros((b, p_tot), dtype).at[bidx, tgt].set(
-                    jnp.where(emit, vals, 0).astype(dtype), mode="drop"
-                )
-
-            type_s = scat(rtype, jnp.int32)
-            lvl_s = scat(lvl, jnp.float32)
-            dcy_s = scat(dcy, jnp.float32)
-            mark = jnp.zeros((b, p_tot), jnp.bool_).at[bidx, tgt].set(
-                emit, mode="drop"
-            )
-            pos = jnp.arange(p_tot)[None, :]
-            type_p = _ffill(type_s, mark, 0)
-            lvl_p = _ffill(lvl_s, mark, 0.0)
-            dcy_p = _ffill(dcy_s, mark, 0.0)
-            start_p = _ffill(jnp.broadcast_to(pos, (b, p_tot)), mark, 0)
+            flags = records_to_flags(rec, code, p_tot)
             if stage == "exp":
-                return (offset, lap, prev_ss, rng), (
-                    jnp.sum(type_p) + jnp.sum(lvl_p) + jnp.sum(start_p),
-                )
+                return (offset, lap, prev_ss, rng), (jnp.sum(flags),)
 
-            k = (pos - start_p).astype(jnp.float32)
-            is_draw = (type_p == REC_NOISE) | (type_p == REC_TAIL)
-            flags = is_draw.astype(jnp.int32) | (mark.astype(jnp.int32) << 1)
-            flags_l, g2, pad2 = _to_lanes(flags, b)
-            seed_l = rng.reshape(g2, pd.LANES)
-            sign, new_seed = jax.vmap(
-                lambda fl, sd: pd.rng_kernel_call(fl, sd, p_tot, False)
-            )(flags_l, seed_l)
-            sign = _from_lanes(sign, b)
-            rng = new_seed.reshape(-1)[:b]
-            mag = jnp.where(
-                type_p == REC_TAIL,
-                lvl_p * jnp.exp(k * jnp.log(jnp.maximum(dcy_p, 1e-30))),
-                lvl_p,
-            )
-            coefs = jnp.where(
-                type_p == REC_COEF, lvl_p, jnp.where(is_draw, mag * sign, 0.0)
-            )
+            coefs, rng = expand_coefs(flags, rng, p_tot, False)
             coefs = jnp.where(corrupt[:, None] == 1, 0.0, coefs).reshape(b, c, n)
             if stage == "rngk":
                 return (offset, lap, prev_ss, rng), (jnp.sum(coefs),)

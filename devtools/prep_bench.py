@@ -126,7 +126,7 @@ def main():
             is_seg_start = jnp.matmul(
                 oh, jnp.asarray(isstart_t), precision=hi
             ).astype(jnp.int32)
-            from ulcx.ops.sortk import monotone_i32
+            from ulcx.ops.keys import monotone_i32
 
             key = monotone_i32(blk.importance.reshape(b, p_tot))
             aux = key ^ (segdelta | (is_seg_start << 16))

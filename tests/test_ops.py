@@ -180,3 +180,43 @@ def test_ema_matmul_chunked_matches_sequential(rng):
                 scale = np.abs(want).max()
                 assert np.abs(got - want).max() / scale < 3e-5, (n, rate, reverse)
                 assert np.abs(got - scan).max() / scale < 3e-5, (n, rate, reverse)
+
+
+def test_monotone_i32_matches_argsort_order():
+    """monotone_i32 (ops/keys.py) must order EXACTLY like jax's float
+    comparator: ±0.0 tied, all NaN payloads/signs collapsed to one key
+    sorted last under the descending convention (kernel keep tests and
+    the sorted-threshold fetch both assume this). This pins the jax
+    argsort NaN-canonicalization behavior version-independently: if a
+    jax upgrade changes NaN sort placement, this test fails before the
+    kernel/scan bitstream parity can silently diverge."""
+    from jax import lax
+
+    from ulcx.ops.keys import monotone_i32
+
+    rng = np.random.default_rng(13)
+    flat = rng.standard_normal((8, 64)).astype(np.float32)
+    flat[flat < -1.2] = -np.inf
+    flat[np.abs(flat) < 0.05] = 0.0
+    flat[0, :8] = flat[0, 8:16]  # exact duplicates
+    flat[1, 0] = -0.0
+    flat[1, 1] = 0.0
+    flat[2, 3] = np.nan
+    flat[2, 9] = -np.nan
+    flat[3, :8] = np.frombuffer(
+        np.uint32(0x7FC00001).tobytes(), dtype=np.float32
+    )[0]
+    flat[4, 60:] = np.frombuffer(
+        np.uint32(0xFFC00001).tobytes(), dtype=np.float32
+    )[0]
+    flat[5, 0] = np.inf
+    flat[5, 1] = np.nan
+    flat[5, 2] = -np.inf
+
+    fj = jnp.asarray(flat)
+    key = monotone_i32(fj)
+    # stable descending order via the key == argsort(-flat)
+    iota = jnp.broadcast_to(jnp.arange(64), key.shape)
+    _, order_k = lax.sort((~key, iota), dimension=1, num_keys=1)
+    order_f = jnp.argsort(-fj, axis=-1)
+    np.testing.assert_array_equal(np.asarray(order_k), np.asarray(order_f))

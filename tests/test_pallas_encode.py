@@ -186,10 +186,7 @@ def test_kernel_v3_matches_scan(rng):
     assert (np.asarray(s_sel) <= int(N * 128.0 * 1000 / 44100) + 7).all()
 
     # fused final round (search_materialize_fast) == separate search +
-    # materialize, bytes and all — and the thin (winner-selected dense
-    # plane) materialize produces identical bytes
-    import os
-
+    # materialize, bytes and all
     from ulcx.bitstream.fast_encode import search_materialize_fast
 
     n_f, s_f, b_f = search_materialize_fast(
@@ -198,17 +195,6 @@ def test_kernel_v3_matches_scan(rng):
     np.testing.assert_array_equal(np.asarray(n_f), np.asarray(n_sel))
     np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_sel))
     np.testing.assert_array_equal(np.asarray(b_f), np.asarray(b_sel))
-
-    os.environ["ULCX_V3_THIN"] = "1"
-    try:
-        n_t, s_t, b_t = search_materialize_fast(
-            fb, n_nz, budget, CFG, 2 * C * N, True
-        )
-    finally:
-        del os.environ["ULCX_V3_THIN"]
-    np.testing.assert_array_equal(np.asarray(n_t), np.asarray(n_sel))
-    np.testing.assert_array_equal(np.asarray(s_t), np.asarray(s_sel))
-    np.testing.assert_array_equal(np.asarray(b_t), np.asarray(b_sel))
 
 
 def test_chunk_loop_unroll_equivalence():

@@ -75,10 +75,9 @@ def fsm_records(windows, cfg: CodecConfig, interpret=False):
     wc_l = jnp.concatenate([wc, jnp.full((pad,), 0x10, jnp.int32)]) if pad else wc
     wc_l = wc_l.reshape(g, pd.LANES)
 
-    def one(wcg, tk):
-        return pd.fsm_kernel_call(wcg, tk, p_tot, n, interpret)
-
-    rec, code, consumed, corrupt = jax.vmap(one)(wc_l, tok_l)
+    rec, code, consumed, corrupt = pd.fsm_kernel_call(
+        wc_l, tok_l, p_tot, n, interpret
+    )
     rec = _from_lanes(rec, b)
     code = _from_lanes(code, b)
     consumed = consumed.reshape(-1)[:b]
@@ -128,8 +127,8 @@ def records_to_flags(rec, code, p_tot: int):
     import os
 
     b = rec.shape[0]
-    rtype = (rec >> 26) & 0x7
-    start = rec & 0x1FFF
+    rtype = (rec >> 15) & 0x7
+    start = rec & 0x7FFF
     emit = rtype != 0
 
     draw_rec = (rtype == REC_NOISE) | (rtype == REC_TAIL)
@@ -179,10 +178,7 @@ def expand_coefs(flags, rng_state, p_tot: int, interpret=False):
         else rng_state
     ).reshape(g2, pd.LANES)
 
-    def one_rng(fl, sd):
-        return pd.rng_expand_kernel_call(fl, sd, p_tot, interpret)
-
-    coefs, new_seed = jax.vmap(one_rng)(flags_l, seed_l)
+    coefs, new_seed = pd.rng_expand_kernel_call(flags_l, seed_l, p_tot, interpret)
     return _from_lanes(coefs, flags.shape[0]), new_seed.reshape(-1)[: flags.shape[0]]
 
 

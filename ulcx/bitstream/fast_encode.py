@@ -205,7 +205,7 @@ def prepare_fast(blk: AnalyzedBlock, cfg: CodecConfig) -> FastBlockData:
     # per-candidate (t, c) thresholds fetched from ONE sorted copy of
     # this key (pallas_encode3 module docstring) — no per-position rank
     # (and so no inverse-permutation sort) is ever materialized
-    from ulcx.ops.sortk import monotone_i32
+    from ulcx.ops.keys import monotone_i32
 
     key = monotone_i32(blk.importance.reshape(b, p_tot))
 
@@ -281,22 +281,6 @@ def _use_v3(b: int, p_tot: int) -> bool:
     width); P is always 128-aligned for pow2 block sizes >= 256, so
     this only rejects exotic configs."""
     return b % 8 == 0 and p_tot % 128 == 0
-
-
-def _use_thin() -> bool:
-    """Thin (winner-selected, dense-plane) materialize: 8x less word
-    HBM write traffic + no 8-way select stage, at the price of one
-    extra p3-size pass in the search (state is reused). Off by default
-    until A/B-validated on hardware (ULCX_V3_THIN=1); requires full
-    kernel unroll under Mosaic."""
-    import os as _os
-
-    from ulcx.bitstream import pallas_encode3 as pe3
-
-    return (
-        _os.environ.get("ULCX_V3_THIN", "0") == "1"
-        and pe3.UNROLL >= pe3.CHUNK
-    )
 
 
 def cand_count(b: int, p_tot: int) -> int:
@@ -377,7 +361,6 @@ def _thr_plane_l(coef_l, ampn_l, hfa_l, hfm_l):
 
 def _v3_planes(fb: FastBlockData, interpret: bool = False) -> _V3Planes:
     from ulcx.bitstream import pallas_encode3 as pe3
-    from ulcx.ops import sortk
 
     b, p_tot = fb.coef.shape
     hdrw = fb.header[:, 0] | (fb.header[:, 1] << 4) | (fb.n_header << 8)
@@ -396,12 +379,7 @@ def _v3_planes(fb: FastBlockData, interpret: bool = False) -> _V3Planes:
     # exactly the descending key order with position-ascending ties.
     kl = key_l[:, :, 0, :]
     iota = jax.lax.broadcasted_iota(jnp.int32, kl.shape, 1)
-    if sortk.use_kv_kernel(p_tot, pe3.LAN, interpret):
-        # in-VMEM form (ops/sortk.py): the val tiebreak is the position
-        # iota itself, so (key asc, val asc) == the stable 1-key sort
-        skinv, sidx = sortk.sort_kv_lanes2(~kl, iota, interpret)
-    else:
-        skinv, sidx = jax.lax.sort((~kl, iota), dimension=1, num_keys=1)
+    skinv, sidx = jax.lax.sort((~kl, iota), dimension=1, num_keys=1)
     return _V3Planes(
         coef_l,
         _thr_plane_l(coef_l, ampn_l, hfa_l, hfm_l),
@@ -663,19 +641,7 @@ def _assemble_v3_lanes(word, widx, freg, fwc, max_bytes: int,
     deleted, and only the n_words = P/4 prefix is transposed after."""
     g, p_tot, lan = word.shape
     n_words = (2 * max_bytes) // 8
-    from ulcx.ops import sortk
-
-    if sortk.use_kv_kernel(p_tot, lan, interpret):
-        # in-VMEM bitonic form of the same compaction sort: one HBM
-        # read+write instead of a per-stage round trip (ops/sortk.py).
-        # Tie order among the masked sentinel entries differs from
-        # lax.sort's but every such slot is discarded by the iota<wc
-        # select below; valid keys 0..fwc-1 are distinct. Gated off in
-        # interpret mode (the eager 78-substage network is minutes-slow
-        # on CPU; sortk has its own direct equality tests).
-        sval = sortk.sort_kv_lanes(widx, word, interpret)
-    else:
-        _, sval = lax.sort((widx, word), dimension=1, num_keys=1)
+    _, sval = lax.sort((widx, word), dimension=1, num_keys=1)
     iota = jnp.arange(n_words, dtype=jnp.int32)[None, :, None]
     wc = fwc[:, None, :]
     words = jnp.where(
@@ -704,28 +670,6 @@ def materialize_fast(fb: FastBlockData, n_out, cfg: CodecConfig, max_bytes: int,
         n_out.astype(jnp.int32).reshape(g, 1, pe3.LAN),
         (g, pe3.SUBC, pe3.LAN),
     )
-    if _use_thin():
-        pl3 = _v3_planes(fb, interpret)
-        t, c = _tc_of(pl3, nout_l)
-        state = pe3.p12_call(
-            t, c, pl3.key_l, pl3.coef_l, pl3.thr_l, pl3.aux_l, p_tot,
-            interpret,
-        )
-        bz = jnp.zeros((g, 1, pe3.LAN), jnp.int32)
-        bits_l, word_t, widx_t, freg_l, fwc_l = pe3.p3_call(
-            pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
-            pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, True,
-            interpret, thin=True, bestj=bz,
-        )
-        size_bits = (
-            4 * (bits_l[:, 0, :].reshape(b) + fb.n_header) + 7
-        ) & ~7
-        by = _assemble_v3_lanes(
-            word_t.reshape(g, p_tot, pe3.LAN),
-            widx_t.reshape(g, p_tot, pe3.LAN),
-            freg_l[:, 0, :], fwc_l[:, 0, :], max_bytes, interpret,
-        )
-        return size_bits[:b_in], by[:b_in]
     bits_l, word_l, widx_l, freg_l, fwc_l = _v3_call_l(
         _v3_planes(fb, interpret), nout_l, True, interpret
     )
@@ -778,27 +722,9 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
     # final round: adaptive-spacing candidates, fused with
     # materialization
     cands, cands_c, hi_c = _final_cands(lo, hi, k)
-    if _use_thin():
-        # thin final round: a size-only p3 finds the winner, then a
-        # second p3 (REUSING the phase-1/2 state for these same
-        # candidates) materializes ONE winner-selected dense plane
-        # — 8x less word/widx HBM write traffic and no [G,P,8,LAN]
-        # select stage, for the price of the extra p3-size walk.
-        tt, cc = _tc_of(pl3, cands_c)
-        state = pe3.p12_call(
-            tt, cc, pl3.key_l, pl3.coef_l, pl3.thr_l, pl3.aux_l, p_tot,
-            interpret,
-        )
-        (bits_l,) = pe3.p3_call(
-            pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
-            pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, False,
-            interpret,
-        )
-        word_l = widx_l = freg_l = fwc_l = None
-    else:
-        bits_l, word_l, widx_l, freg_l, fwc_l = _v3_call_l(
-            pl3, cands_c, True, interpret
-        )
+    bits_l, word_l, widx_l, freg_l, fwc_l = _v3_call_l(
+        pl3, cands_c, True, interpret
+    )
     sizes = (4 * (bits_l + nh_l) + 7) & ~7
     # clipped candidates equal hi_c (in-bracket): selectable
     feas = sizes <= bud
@@ -821,19 +747,6 @@ def search_materialize_fast(fb: FastBlockData, n_nz, budget, cfg: CodecConfig,
 
     n_out = sel_l(cands_c).reshape(b)
     size_bits = sel_l(sizes).reshape(b)
-    if _use_thin():
-        _, word_t, widx_t, freg_t, fwc_t = pe3.p3_call(
-            pl3.coef_l, pl3.thr_l, pl3.ampn_l, pl3.aux_l,
-            pl3.hfa_l, pl3.hfm_l, state, pl3.hdr_l, p_tot, True,
-            interpret, thin=True,
-            bestj=best_j[:, None, :].astype(jnp.int32),
-        )
-        by = _assemble_v3_lanes(
-            word_t.reshape(g, p_tot, pe3.LAN),
-            widx_t.reshape(g, p_tot, pe3.LAN),
-            sel_l(freg_t), sel_l(fwc_t), max_bytes, interpret,
-        )
-        return n_out[:b_in], size_bits[:b_in], by[:b_in]
     by = _assemble_v3_lanes(
         sel_l(word_l), sel_l(widx_l), sel_l(freg_l), sel_l(fwc_l),
         max_bytes, interpret,

@@ -1,6 +1,6 @@
 """Pallas TPU kernels for the bitstream decoder.
 
-Two kernels mirror the encoder's design (see pallas_encode.py):
+Two kernels mirror the encoder kernels' design (pallas_encode3.py):
 
 - **FSM kernel**: the nybble syntax state machine
   (ulcx.bitstream.decode.decode_block_tokens) as a hardware loop over
@@ -10,16 +10,22 @@ Two kernels mirror the encoder's design (see pallas_encode.py):
   there are no per-lane table gathers.
 - **RNG kernel**: the xorshift32 cumulative-sign replay over coefficient
   positions (the reference's process-global noise RNG,
-  ulcDecoder.c:75-81), one position per step.
+  ulcDecoder.c:75-81), one position per step, fused with record fill
+  and coefficient assembly.
 
-Record expansion between them is gather-free vectorized JAX
-(associative-scan forward fill; see fast_decode.py).
+Record placement between them is gather-free vectorized JAX (the
+one-hot int8 matmul in fast_decode.records_to_flags).
+
+Both serial loops ride the same chunked grid as the encoder kernels
+(grid = (G, n_chunks), carry persisted in VMEM scratch across grid
+steps): VMEM holds only a chunk of the token/position planes at a
+time, so the envelope is the encoder's full P <= 32768 (the complete
+reference block-size range, ulcEncoder.c:21) with bounded VMEM.
 """
 
 from __future__ import annotations
 
 import functools
-import os
 
 import numpy as np
 import jax
@@ -32,6 +38,8 @@ from ulcx.ops.patterns import pattern_subblock_offsets, pattern_subblock_sizes
 
 LANES = 128
 UNROLL = 1  # Mosaic supports only unroll=1 or full; these loops are too long to unroll fully
+T_CHUNK = 1024  # token-axis grid chunk (FSM kernel)
+P_CHUNK = 1024  # position-axis grid chunk (RNG kernel)
 
 # FSM modes (shared vocabulary with ulcx.bitstream.decode)
 M_QUANT_START = 0
@@ -49,12 +57,22 @@ M_TAIL_Z = 11
 M_TAIL_Y = 12
 M_TAIL_X = 13
 M_DONE = 14
+M_CORRUPT = 15  # corrupt folds into the mode field (frees the carry bit)
 
 REC_NONE = 0
 REC_COEF = 1
 REC_ZERO = 2
 REC_NOISE = 3
 REC_TAIL = 4
+
+
+def _chunk_of(total: int, want: int) -> int:
+    """Largest chunk <= want that divides total (block_size >= 256 and
+    power-of-two guarantees a >= 256 divisor for the position axis)."""
+    c = min(want, total)
+    while total % c:
+        c //= 2
+    return c
 
 
 def _next_end_table(block_size: int):
@@ -78,18 +96,31 @@ def _expand_quant(qi):
     return m.astype(jnp.float32) * jnp.float32(2.0**-31)
 
 
-def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
-                *, p_tot: int, n: int, t_len: int):
-    """Single packed loop carry: pos(14) | mode(4)<<14 | qi(5)<<18 |
-    r0(8)<<23 | corrupt(1)<<31 — exactly 32 bits; pos reaches p_tot
-    inclusive, so 14 bits cover the P=8192 envelope (stereo bs4096).
+def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref, st_sc,
+                *, p_tot: int, n: int, t_len: int, t_chunk: int):
+    """Single packed loop carry: pos(15) | mode(4)<<15 | qi(5)<<19 |
+    r0(8)<<24 — exactly 32 bits. pos only matters while the FSM is
+    active (mode < M_DONE), where pos < p_tot <= 32768, so 15 bits
+    cover the encoder kernels' full P=32768 envelope; corrupt is the
+    mode sentinel M_CORRUPT (15).
 
     The Mosaic TPU compiler (as shipped here) fails on loops where a
     second carry is updated under a predicate derived from another,
     cyclically-updated carry — so the whole FSM state lives in ONE
     word, and per-step 'consumed' is recovered outside the kernel by
     summing the active bit emitted with each record word.
+
+    The token axis rides the grid (carry in VMEM scratch, initialized
+    at j == 0): VMEM holds one [t_chunk, LANES] block of the
+    nybble/rec/code planes at a time. Steps past the true window
+    length t_len (chunk padding) freeze the carry and emit inactive.
     """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        st_sc[0] = jnp.full((LANES,), M_QUANT_START << 15, jnp.int32)
+
     wc = wc_ref[0, :]
     pat = wc >> 4
     slot_shift = int(np.log2(n // 8))
@@ -109,14 +140,15 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
             se = jnp.where(slot == s, nse[s], se)
         return cb + se
 
+    base = j * t_chunk
+
     def body(t, st):
-        pos = st & 0x3FFF
-        mode = (st >> 14) & 0xF
-        qi = (st >> 18) & 0x1F
-        r0 = (st >> 23) & 0xFF
-        corrupt = (st >> 31) & 1
+        pos = st & 0x7FFF
+        mode = (st >> 15) & 0xF
+        qi = (st >> 19) & 0x1F
+        r0 = (st >> 24) & 0xFF
         x = nyb_ref[t, :]
-        active = (mode != M_DONE) & (corrupt == 0)
+        active = (mode != M_DONE) & (mode != M_CORRUPT) & (base + t < t_len)
         se = seg_end_of(pos)
         remaining = se - pos
 
@@ -124,14 +156,13 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
         new_pos = pos
         new_qi = qi
         new_r0 = r0
-        new_cor = corrupt
+        bad = jnp.zeros((LANES,), jnp.bool_)
         emit = jnp.zeros((LANES,), jnp.bool_)
         rtype = jnp.full((LANES,), REC_NONE, jnp.int32)
-        rcount = jnp.zeros((LANES,), jnp.int32)
         # level/decay leave the kernel as small integer CODES
         # (a | dn << 5 | qi << 13); the RNG kernel reconstructs the f32
         # values with the identical expressions. One i32 plane instead
-        # of two f32 planes, and the expansion scatter outside collapses
+        # of two f32 planes, and the record placement outside collapses
         # from three to one.
         r_a = jnp.zeros((LANES,), jnp.int32)
         r_dn = jnp.zeros((LANES,), jnp.int32)
@@ -142,13 +173,12 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
         in_qs = mode == M_QUANT_START
         new_m = jnp.where(in_qs, jnp.where(x == 0xE, M_QUANT_EXT_S, M_NORMAL), new_m)
         new_qi = jnp.where(in_qs & (x < 0xE), x, new_qi)
-        new_cor = new_cor | (in_qs & (x == 0xF)).astype(jnp.int32)
+        bad = bad | (in_qs & (x == 0xF))
 
         for in_qe in (mode == M_QUANT_EXT_S, mode == M_QUANT_EXT_M):
             qe_stop = in_qe & (x == 0xF)
             emit = emit | qe_stop
             rtype = jnp.where(qe_stop, REC_ZERO, rtype)
-            rcount = jnp.where(qe_stop, remaining, rcount)
             new_pos = jnp.where(qe_stop, se, new_pos)
             new_m = jnp.where(in_qe, jnp.where(x == 0xF, seg_adv(se), M_NORMAL), new_m)
             new_qi = jnp.where(in_qe & (x != 0xF), 0xE + x, new_qi)
@@ -165,7 +195,6 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
         is_coef = in_n & (x != 0x0) & (x != 0x1) & (x != 0x8) & (x != 0xF)
         emit = emit | is_coef
         rtype = jnp.where(is_coef, REC_COEF, rtype)
-        rcount = jnp.where(is_coef, 1, rcount)
         r_a = jnp.where(is_coef, x, r_a)
         pos_c = pos + 1
         new_pos = jnp.where(is_coef, pos_c, new_pos)
@@ -179,10 +208,9 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
         n_zs = x + 1
         zs_bad = in_zs & (n_zs > remaining)
         zs_ok = in_zs & (~zs_bad)
-        new_cor = new_cor | zs_bad.astype(jnp.int32)
+        bad = bad | zs_bad
         emit = emit | zs_ok
         rtype = jnp.where(zs_ok, REC_ZERO, rtype)
-        rcount = jnp.where(zs_ok, n_zs, rcount)
         pos_z = pos + n_zs
         new_pos = jnp.where(zs_ok, pos_z, new_pos)
         new_m = jnp.where(zs_ok, seg_adv(pos_z), new_m)
@@ -194,10 +222,9 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
         n_l = ((r0 << 4) | x) + 33
         l_bad = in_lx & (n_l > remaining)
         l_ok = in_lx & (~l_bad)
-        new_cor = new_cor | l_bad.astype(jnp.int32)
+        bad = bad | l_bad
         emit = emit | l_ok
         rtype = jnp.where(l_ok, REC_ZERO, rtype)
-        rcount = jnp.where(l_ok, n_l, rcount)
         pos_l = pos + n_l
         new_pos = jnp.where(l_ok, pos_l, new_pos)
         new_m = jnp.where(l_ok, seg_adv(pos_l), new_m)
@@ -213,10 +240,9 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
         lvl_q = (x >> 1) + 1
         nx_bad = in_nx & (n_noise > remaining)
         nx_ok = in_nx & (~nx_bad)
-        new_cor = new_cor | nx_bad.astype(jnp.int32)
+        bad = bad | nx_bad
         emit = emit | nx_ok
         rtype = jnp.where(nx_ok, REC_NOISE, rtype)
-        rcount = jnp.where(nx_ok, n_noise, rcount)
         r_a = jnp.where(nx_ok, lvl_q, r_a)
         pos_n = pos + n_noise
         new_pos = jnp.where(nx_ok, pos_n, new_pos)
@@ -234,66 +260,90 @@ def _fsm_kernel(wc_ref, nyb_ref, rec_ref, code_ref, meta_ref,
         dn = ((r0 & 0xF) << 4) | x
         emit = emit | in_tx
         rtype = jnp.where(in_tx, REC_TAIL, rtype)
-        rcount = jnp.where(in_tx, remaining, rcount)
         r_a = jnp.where(in_tx, lvl_t, r_a)
         r_dn = jnp.where(in_tx, dn, r_dn)
         new_pos = jnp.where(in_tx, se, new_pos)
         new_m = jnp.where(in_tx, seg_adv(se), new_m)
 
+        new_m = jnp.where(bad, M_CORRUPT, new_m)
+
         emit = active & emit
+        # rec: start(15) | rtype(3)<<15 | active<<29. Record lengths are
+        # implicit (records tile the positions; expansion is
+        # start-marker based), so no count field bounds P.
         rec = jnp.where(
             emit,
-            jnp.clip(pos, 0, 8191)  # valid starts are < p_tot <= 8192
-            | (jnp.clip(rcount, 0, 8191) << 13)
-            | (rtype << 26),
+            jnp.clip(pos, 0, 0x7FFF) | (rtype << 15),
             0,
         ) | (active.astype(jnp.int32) << 29)
         rec_ref[t, :] = rec
         code_ref[t, :] = jnp.where(emit, r_a | (r_dn << 5) | (qi << 13), 0)
 
         packed = (
-            jnp.clip(jnp.where(active, new_pos, pos), 0, 0x3FFF)
-            | (jnp.where(active, new_m, mode) << 14)
-            | (jnp.where(active, new_qi, qi) << 18)
-            | (jnp.where(active, new_r0 & 0xFF, r0) << 23)
-            | (jnp.where(active, new_cor, corrupt) << 31)
+            jnp.clip(jnp.where(active, new_pos, pos), 0, 0x7FFF)
+            | (jnp.where(active, new_m, mode) << 15)
+            | (jnp.where(active, new_qi, qi) << 19)
+            | (jnp.where(active, new_r0 & 0xFF, r0) << 24)
         )
         return packed
 
-    init = jnp.full((LANES,), M_QUANT_START << 14, jnp.int32)
-    final = lax.fori_loop(0, t_len, body, init, unroll=UNROLL)
+    final = lax.fori_loop(0, t_chunk, body, st_sc[0], unroll=UNROLL)
+    st_sc[0] = final
     meta_ref[0, :] = final
 
 
 def fsm_kernel_call(wc, nybbles, p_tot: int, n: int, interpret: bool = False):
-    """wc [LANES] i32; nybbles [T, LANES] i32 (header stripped).
+    """wc [G, LANES] i32; nybbles [G, T, LANES] i32 (header stripped).
 
-    Returns (rec [T, LANES] i32 packed start|count<<13|type<<26,
-    code [T, LANES] i32 packed a|dn<<5|qi<<13,
-    consumed [LANES] i32, corrupt [LANES] i32)."""
-    t_len = nybbles.shape[0]
-    kern = functools.partial(_fsm_kernel, p_tot=p_tot, n=n, t_len=t_len)
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    Returns (rec [G, T, LANES] i32 packed start|type<<15,
+    code [G, T, LANES] i32 packed a|dn<<5|qi<<13,
+    consumed [G, LANES] i32, corrupt [G, LANES] i32)."""
+    g, t_len = nybbles.shape[0], nybbles.shape[1]
+    t_chunk = _chunk_of(max(t_len, 1), T_CHUNK)
+    t_pad = (-t_len) % t_chunk
+    if t_pad:
+        nybbles = jnp.concatenate(
+            [nybbles, jnp.zeros((g, t_pad, LANES), nybbles.dtype)], axis=1
+        )
+    n_chunks = (t_len + t_pad) // t_chunk
+    kern = functools.partial(
+        _fsm_kernel, p_tot=p_tot, n=n, t_len=t_len, t_chunk=t_chunk
+    )
+    whole = pl.BlockSpec(
+        (None, 8, LANES), lambda gg, j: (gg, 0, 0), memory_space=pltpu.VMEM
+    )
+    chunk = pl.BlockSpec(
+        (None, t_chunk, LANES), lambda gg, j: (gg, j, 0),
+        memory_space=pltpu.VMEM,
+    )
     rec, code, meta = pl.pallas_call(
         kern,
+        grid=(g, n_chunks),
         out_shape=(
-            jax.ShapeDtypeStruct((t_len, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((t_len, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((8, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((g, t_len + t_pad, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((g, t_len + t_pad, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((g, 8, LANES), jnp.int32),
         ),
-        in_specs=[vspec, vspec],
-        out_specs=(vspec, vspec, vspec),
+        in_specs=[whole, chunk],
+        out_specs=(chunk, chunk, whole),
+        scratch_shapes=[pltpu.VMEM((8, LANES), jnp.int32)],
         interpret=interpret,
-    )(jnp.broadcast_to(wc[None, :], (8, LANES)).astype(jnp.int32), nybbles)
-    final = meta[0]
-    consumed = jnp.sum((rec >> 29) & 1, axis=0).astype(jnp.int32)
-    mode_f = (final >> 14) & 0xF
-    corrupt = ((final >> 31) & 1) | (mode_f != 14).astype(jnp.int32)
+    )(
+        jnp.broadcast_to(wc[:, None, :], (g, 8, LANES)).astype(jnp.int32),
+        nybbles,
+    )
+    if t_pad:
+        rec, code = rec[:, :t_len], code[:, :t_len]
+    final = meta[:, 0]
+    consumed = jnp.sum((rec >> 29) & 1, axis=1).astype(jnp.int32)
+    mode_f = (final >> 15) & 0xF
+    corrupt = (mode_f != M_DONE).astype(jnp.int32)
     return rec & ((1 << 29) - 1), code, consumed, corrupt
 
 
 def _rng_kernel(flags_ref, seed_ref, sign_ref, seed_out_ref, *, p_tot: int):
-    """Replay the xorshift32 cumulative-sign sequence.
+    """Replay the xorshift32 cumulative-sign sequence (A/B stage bench
+    harness — production uses the fused _rng_expand_kernel).
 
     flags[p]: bit0 = draw (noise/tail coefficient), bit1 = record start.
     """
@@ -339,7 +389,7 @@ def rng_kernel_call(flags, seed, p_tot: int, interpret: bool = False):
 
 
 def _rng_expand_kernel(flags_ref, seed_ref, coef_ref, seed_out_ref,
-                       *, p_tot: int):
+                       ui_sc, uf_sc, *, p_chunk: int):
     """Fused RNG replay + record fill + coefficient assembly.
 
     flags[p] is ONE packed word per position (sparse fields live at
@@ -359,8 +409,20 @@ def _rng_expand_kernel(flags_ref, seed_ref, coef_ref, seed_out_ref,
     update (the draw latch gating state/parity, dcy gating mag) is
     itself updated only under input-derived predicates (the start bit)
     — the acyclic shape the Mosaic backend compiles (NOTES.md Mosaic
-    bug).
+    bug). The position axis rides the grid (carry in scratch), so VMEM
+    holds one [p_chunk, LANES] block of flags/coefs at a time — the
+    envelope is P <= 32768 without the whole plane resident.
     """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        ui_sc[0] = seed_ref[0, :]
+        ui_sc[1] = jnp.zeros((LANES,), jnp.uint32)  # parity
+        ui_sc[2] = jnp.zeros((LANES,), jnp.uint32)  # drw latch
+        uf_sc[0] = jnp.zeros((LANES,), jnp.float32)  # lvl
+        uf_sc[1] = jnp.zeros((LANES,), jnp.float32)  # mag
+        uf_sc[2] = jnp.zeros((LANES,), jnp.float32)  # dcy
 
     def body(p, carry):
         state, parity, drw, lvl, mag, dcy = carry
@@ -407,29 +469,45 @@ def _rng_expand_kernel(flags_ref, seed_ref, coef_ref, seed_out_ref,
         mag = jnp.where(draw & (dcy != 0.0), mag * dcy, mag)
         return state, parity, drw, lvl, mag, dcy
 
-    z = jnp.zeros((LANES,), jnp.float32)
-    zu = jnp.zeros((LANES,), jnp.uint32)
-    state, _, _, _, _, _ = lax.fori_loop(
-        0, p_tot, body,
-        (seed_ref[0, :], zu, zu, z, z, z),
+    out = lax.fori_loop(
+        0, p_chunk, body,
+        (ui_sc[0], ui_sc[1], ui_sc[2], uf_sc[0], uf_sc[1], uf_sc[2]),
         unroll=UNROLL,
     )
-    seed_out_ref[0, :] = state
+    ui_sc[0], ui_sc[1], ui_sc[2] = out[0], out[1], out[2]
+    uf_sc[0], uf_sc[1], uf_sc[2] = out[3], out[4], out[5]
+    seed_out_ref[0, :] = out[0]
 
 
 def rng_expand_kernel_call(flags, seed, p_tot: int, interpret: bool = False):
-    """flags [P, LANES] i32 (packed per-position word); seed [LANES] u32.
-    Returns (coef [P, LANES] f32, new_seed [LANES] u32)."""
-    kern = functools.partial(_rng_expand_kernel, p_tot=p_tot)
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    """flags [G, P, LANES] i32 (packed per-position word); seed [G, LANES]
+    u32. Returns (coef [G, P, LANES] f32, new_seed [G, LANES] u32)."""
+    g = flags.shape[0]
+    p_chunk = _chunk_of(p_tot, P_CHUNK)
+    kern = functools.partial(_rng_expand_kernel, p_chunk=p_chunk)
+    whole_u = pl.BlockSpec(
+        (None, 8, LANES), lambda gg, j: (gg, 0, 0), memory_space=pltpu.VMEM
+    )
+    chunk_i = pl.BlockSpec(
+        (None, p_chunk, LANES), lambda gg, j: (gg, j, 0),
+        memory_space=pltpu.VMEM,
+    )
     coef, seed_out = pl.pallas_call(
         kern,
+        grid=(g, p_tot // p_chunk),
         out_shape=(
-            jax.ShapeDtypeStruct((p_tot, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((8, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((g, p_tot, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((g, 8, LANES), jnp.uint32),
         ),
-        in_specs=[vspec, vspec],
-        out_specs=(vspec, vspec),
+        in_specs=[chunk_i, whole_u],
+        out_specs=(chunk_i, whole_u),
+        scratch_shapes=[
+            pltpu.VMEM((3, LANES), jnp.uint32),
+            pltpu.VMEM((3, LANES), jnp.float32),
+        ],
         interpret=interpret,
-    )(flags, jnp.broadcast_to(seed[None, :], (8, LANES)).astype(jnp.uint32))
-    return coef, seed_out[0]
+    )(
+        flags,
+        jnp.broadcast_to(seed[:, None, :], (g, 8, LANES)).astype(jnp.uint32),
+    )
+    return coef, seed_out[:, 0]

@@ -27,7 +27,7 @@ instead test the stable-descending-order predicate directly:
   kept(p, n)  <=>  key[p] > t_n  |  (key[p] == t_n  &  p <= c_n)
 
 where key = order-preserving monotone i32 of the importance (±0.0
-squashed, NaNs collapsed below -inf — ops/sortk.monotone_i32) and
+squashed, NaNs collapsed below -inf — ops/keys.monotone_i32) and
 (t_n, c_n) = the n-th entry of ONE (key desc, idx asc) sort, fetched
 per candidate. Bit-identical to rank < n, ties included, with the
 inverse-permutation sort gone and the rank field freed from the aux
@@ -251,13 +251,8 @@ def _p2(t_ref, c_ref, key_ref, thr_ref, aux_ref, s12_ref, state_ref, st_sc,
 #    words (per-lane VMEM offsets — the round-2 blocker — never arise).
 
 
-def _p3(*refs, materialize: bool, unroll: int,
-        thin: bool = False):
-    if materialize and thin:
-        (coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref, hfmeta_ref,
-         state_ref, hdr_ref, bestj_ref, bits_ref, word_ref, widx_ref,
-         freg_ref, fwc_ref, st_sc) = refs
-    elif materialize:
+def _p3(*refs, materialize: bool, unroll: int):
+    if materialize:
         (coef_ref, coefn_ref, amp_ref, aux_ref, hfamp_ref, hfmeta_ref,
          state_ref, hdr_ref, bits_ref, word_ref, widx_ref, freg_ref,
          fwc_ref, st_sc) = refs
@@ -469,34 +464,8 @@ def _p3(*refs, materialize: bool, unroll: int,
             newfill = fill + pos_cnt
             crossed = newfill >= 8
             wv = jnp.where(crossed, wcount, jnp.int32(2**30))
-            if thin:
-                # winner-selected dense output: ONE [P, 128]-shaped
-                # plane (viewed [P/8, 8, LAN] so positions fill the
-                # sublanes of dense tiles) instead of 8 candidate
-                # planes — 8x less HBM write traffic and no 8-way
-                # select stage outside. The in-register select over
-                # static sublane slices costs ~14 ops/position.
-                bj = bestj_ref[...]  # [1, LAN]
-                w_sel = full[0:1]
-                x_sel = wv[0:1]
-                for jj in range(1, SUBC):
-                    m = bj == jj
-                    w_sel = jnp.where(m, full[jj:jj + 1], w_sel)
-                    x_sel = jnp.where(m, wv[jj:jj + 1], x_sel)
-                if isinstance(lp, int):
-                    # full unroll (the Mosaic production config): the
-                    # sublane index lp%8 is static
-                    word_ref[lp // 8, (lp % 8):(lp % 8) + 1] = w_sel
-                    widx_ref[lp // 8, (lp % 8):(lp % 8) + 1] = x_sel
-                else:
-                    # dynamic index path: interpret mode only (Mosaic
-                    # cannot index sublanes dynamically — the caller
-                    # asserts full unroll when compiling)
-                    word_ref[lp >> 3, pl.dslice(lp & 7, 1)] = w_sel
-                    widx_ref[lp >> 3, pl.dslice(lp & 7, 1)] = x_sel
-            else:
-                word_ref[lp] = full
-                widx_ref[lp] = wv
+            word_ref[lp] = full
+            widx_ref[lp] = wv
             reg = jnp.where(crossed, residue, full)
             fill = newfill & 7
             wcount = wcount + crossed.astype(jnp.int32)
@@ -552,7 +521,7 @@ def p12_call(t, c, key, coef, thr, aux, p_tot: int, interpret: bool = False):
     """Phases 1+2 (forward zone scan, reverse backfill): the packed
     per-position state plane [G, P, SUBC, LAN] consumed by phase 3.
     Exposed separately so a size pass and a materialize pass over the
-    SAME candidates (the thin final round) reuse one state build.
+    SAME candidates reuse one state build.
     t/c [G, SUBC, LAN] are the per-candidate keep thresholds (see
     module docstring); key [G, P, 1, LAN] the monotone importance.
     p1 reads the coefficient values (zone min/max); p2 only ever tests
@@ -588,35 +557,21 @@ def p12_call(t, c, key, coef, thr, aux, p_tot: int, interpret: bool = False):
 
 
 def p3_call(coef, thr, ampn, aux, hfamp, hfmeta, state, hdr,
-            p_tot: int, materialize: bool, interpret: bool = False,
-            thin: bool = False, bestj=None):
+            p_tot: int, materialize: bool, interpret: bool = False):
     """Phase 3 (forward emission walk) over a prebuilt state plane.
 
     Size-only mode reads (thr, aux, state): the coefficient/amplitude
     value planes are replaced by the packed threshold plane (pass
     coef/ampn/hfamp/hfmeta as None). Materialize mode reads the full
     value planes (thr unused). Keep decisions are already baked into
-    the state plane, so phase 3 needs no keep thresholds.
-
-    thin (materialize only): word/widx come back [G, P/8, 8, LAN] —
-    ONE winner-selected plane (row-major == [G, P, LAN]) instead of 8
-    candidate planes; `bestj` [G, 1, LAN] picks the winning sublane at
-    each position (pass zeros when nout is candidate-uniform). Requires
-    full unroll under Mosaic (the per-position sublane index must be
-    static); interpret mode takes the dynamic-index path."""
+    the state plane, so phase 3 needs no keep thresholds."""
     n_chunks = p_tot // CHUNK
     g = state.shape[0]
     grid = (g, n_chunks)
     unroll = 1 if interpret else UNROLL
-    if thin and not interpret:
-        assert unroll >= CHUNK, (
-            "thin materialize needs static sublane indices: full unroll only"
-        )
     in_spec, lin_spec, _, chunk_spec, _, whole = _specs(p_tot)
 
-    kern3 = functools.partial(
-        _p3, materialize=materialize, unroll=unroll, thin=thin
-    )
+    kern3 = functools.partial(_p3, materialize=materialize, unroll=unroll)
     if not materialize:
         return (pl.pallas_call(
             kern3,
@@ -631,30 +586,6 @@ def p3_call(coef, thr, ampn, aux, hfamp, hfmeta, state, hdr,
     coefn = jnp.concatenate([coef[:, 1:], coef[:, -1:]], axis=1)
     in_specs = [in_spec, in_spec, lin_spec, in_spec, lin_spec,
                 lin_spec, chunk_spec]
-    if materialize and thin:
-        bj_spec = pl.BlockSpec(
-            (None, 1, LAN), lambda gg, j: (gg, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        thin_spec = pl.BlockSpec(
-            (None, CHUNK // 8, 8, LAN), lambda gg, j: (gg, j, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        return pl.pallas_call(
-            kern3,
-            grid=grid,
-            in_specs=in_specs + [whole, bj_spec],
-            out_specs=(whole, thin_spec, thin_spec, whole, whole),
-            out_shape=(
-                jax.ShapeDtypeStruct((g, SUBC, LAN), jnp.int32),
-                jax.ShapeDtypeStruct((g, p_tot // 8, 8, LAN), jnp.int32),
-                jax.ShapeDtypeStruct((g, p_tot // 8, 8, LAN), jnp.int32),
-                jax.ShapeDtypeStruct((g, SUBC, LAN), jnp.int32),
-                jax.ShapeDtypeStruct((g, SUBC, LAN), jnp.int32),
-            ),
-            scratch_shapes=[pltpu.VMEM((7, SUBC, LAN), jnp.int32)],
-            interpret=interpret,
-        )(coef, coefn, ampn, aux, hfamp, hfmeta, state, hdr, bestj)
     if materialize:
         return pl.pallas_call(
             kern3,
@@ -675,8 +606,7 @@ def p3_call(coef, thr, ampn, aux, hfamp, hfmeta, state, hdr,
 
 def encode_kernel_call3(t, c, key, coef, thr, ampn, aux, hfamp, hfmeta, hdr,
                         p_tot: int, materialize: bool,
-                        interpret: bool = False,
-                        thin: bool = False, bestj=None):
+                        interpret: bool = False):
     """v3 invocation: G groups x (128 streams x 8 candidates).
 
     The group axis rides the PALLAS GRID (grid = (G, n_chunks)), not a
@@ -693,9 +623,8 @@ def encode_kernel_call3(t, c, key, coef, thr, ampn, aux, hfamp, hfmeta, hdr,
     plus in materialize mode (word [G, P, SUBC, LAN], widx alike,
     freg [G, SUBC, LAN], fwc [G, SUBC, LAN]): emitted u32 stream words
     with their word indices (2**30 where no word completed), the final
-    partial word, and the completed-word count. With thin=True the
-    word/widx planes are winner-selected (see p3_call).
+    partial word, and the completed-word count.
     """
     state = p12_call(t, c, key, coef, thr, aux, p_tot, interpret)
     return p3_call(coef, thr, ampn, aux, hfamp, hfmeta, state, hdr,
-                   p_tot, materialize, interpret, thin, bestj)
+                   p_tot, materialize, interpret)

@@ -118,7 +118,9 @@ def decode_stream_batched(
         axis=-1,
         dtype=jnp.int32,
     )  # [B, S/4] little-endian words
-    n_words = window_bytes // 4 + 1
+    # +3 rounds up so the worst-case phase slice byt[3:3+window_bytes]
+    # stays in bounds for every window_bytes % 4 (not just 0/1)
+    n_words = (window_bytes + 3) // 4 + 1
 
     def step(state, _):
         offset, lap, prev_ss, rng = state
@@ -253,7 +255,7 @@ def decode_stream_pipelined(
         axis=-1,
         dtype=jnp.int32,
     )
-    n_words = window_bytes // 4 + 1
+    n_words = (window_bytes + 3) // 4 + 1
 
     def fsm_step(off, _):
         words = lax.dynamic_slice(sw, (off >> 2,), (n_words,))

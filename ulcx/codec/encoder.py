@@ -205,6 +205,17 @@ def _use_kernel(cfg: CodecConfig, batch: int) -> bool:
         and cfg.noise_run_window == "segment"
     )
     if not shape_ok:
+        if cfg.use_pallas == "on":
+            # "on" FORCES the kernels; an ineligible shape is a loud
+            # error (mirrors the noise_run_window='gap' ValueError in
+            # utils/config.py) rather than a silent scan fallback.
+            raise ValueError(
+                "use_pallas='on' but the shape is outside the kernel "
+                f"envelope: need n_chan*block_size <= 32768 and a "
+                f"multiple of 128 (got {p_tot}) and batch % 8 == 0 "
+                f"(got {batch}); use use_pallas='auto' to fall back to "
+                "the scan path on ineligible shapes"
+            )
         return False
     if cfg.use_pallas == "on":
         return True
@@ -355,7 +366,11 @@ def encode_stream(blocks: jnp.ndarray, cfg: CodecConfig, mode: str, carry=None, 
     if carry is None:
         carry = EncoderCarry.init(cfg)
     t = blocks.shape[0]
-    if not cfg.flat_stream and cfg.fold_bitstream != t:
+    # fold_bitstream=1 (the default) means "no explicit preference":
+    # fold the whole chunk, the fast single-stream form. A caller who
+    # SET a fold (e.g. to bound the kernel state-plane memory on long
+    # chunks) keeps it.
+    if not cfg.flat_stream and cfg.fold_bitstream == 1:
         cfg = dataclasses.replace(cfg, fold_bitstream=t)
     carry_b = jax.tree_util.tree_map(lambda x: x[None], carry)
     out, carry_b = encode_stream_batched(

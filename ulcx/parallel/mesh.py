@@ -85,9 +85,9 @@ def batch_decode(
     use_kernel = (
         cfg.use_pallas != "off"
         and (cfg.use_pallas == "on" or jax.default_backend() not in ("cpu",))
-        # the FSM carry packs pos in 14 bits (pos reaches p_tot
-        # inclusive): larger blocks take the scan decoder
-        and cfg.n_chan * cfg.block_size <= 8192
+        # the FSM carry packs pos in 15 bits (live only while active,
+        # where pos < p_tot): the full reference envelope P <= 32768
+        and cfg.n_chan * cfg.block_size <= 32768
     )
 
     def vmapped(ss):

@@ -82,11 +82,12 @@ def main(argv=None) -> int:
     # the pipelined decoder keeps only the FSM serial and batches
     # expansion/RNG/IMDCT over the chunk's blocks — the per-block scan
     # measured 0.7x realtime warm through the tool (NOTES.md round-4
-    # log); gate mirrors batch_decode (kernel FSM holds P <= 8192)
+    # log); gate mirrors batch_decode (kernel FSM holds P <= 32768,
+    # the full reference envelope)
     use_pipelined = (
         cfg.use_pallas != "off"
         and (cfg.use_pallas == "on" or jax.default_backend() not in ("cpu",))
-        and cfg.n_chan * cfg.block_size <= 8192
+        and cfg.n_chan * cfg.block_size <= 32768
     )
     if use_pipelined:
         from ulcx.codec.decoder import decode_stream_pipelined

@@ -74,8 +74,9 @@ class CodecConfig:
     noise_run_window: str = "segment"
     # Fused Pallas bitstream kernels: "auto" uses them on TPU backends
     # whenever the shape constraints hold (P <= 32768, batch % 8 == 0,
-    # segment noise window); "on" forces them (interpret mode off-TPU),
-    # "off" always uses the XLA scan path.
+    # segment noise window); "on" forces them (interpret mode off-TPU)
+    # and raises ValueError on shapes outside the kernel envelope
+    # (never a silent fallback); "off" always uses the XLA scan path.
     use_pallas: str = "auto"
     # Whole-chunk pipeline shape: fold the block axis T into the batch
     # (scan only over window control). Byte-identical to the per-block
