@@ -63,6 +63,25 @@ def make_corpus(b: int, t: int, n: int, rate_hz: float = 44100.0) -> np.ndarray:
     return np.ascontiguousarray(x.reshape(b, 2, t, n).transpose(0, 2, 1, 3))
 
 
+def make_corpus_realistic(b: int, t: int, n: int) -> np.ndarray:
+    """[B, T, 2, N] realistic synthesized material: streams cycle
+    through tests/material.py's speech/percussion/poly generators with
+    per-stream seeds. Slower to synthesize than make_corpus (python
+    resonator loops), so callers cache; intended for quality-oriented
+    sweeps (ULCX_BENCH_MATERIAL=realistic), not the throughput bench."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import material
+
+    kinds = list(material.GENERATORS)
+    out = np.empty((b, t, 2, n), np.float32)
+    for i in range(b):
+        out[i] = material.blocks_of(kinds[i % len(kinds)], n, t, 2,
+                                    seed_offset=7 * (i // len(kinds)))
+    return out
+
+
 def _probe_backend(timeout_s: float = 240.0) -> bool:
     """Bounded device-backend probe in a subprocess.
 
@@ -144,13 +163,17 @@ def main():
     audio_seconds = b * t * n / 44100.0
 
     def enc_step(x):
-        out, stats = batch_encode(x, cfg, mode, **kw)
+        # scan_major: outputs stay in the scan-produced [T, B] layout —
+        # the [T,B]->[B,T] relayout of the stacked byte planes is pure
+        # output sugar costing ~25% of the graph's compile time
+        # (devtools/aot_out_probe.py)
+        out, stats = batch_encode(x, cfg, mode, scan_major=True, **kw)
         # tiny on-device digest of the FULL byte output: fetching it
         # forces the whole pipeline (bytes included) with ONE small
         # host round trip — each np.asarray through the tunnel costs
         # ~15-35 ms of pure dispatch/fetch floor, which at >1000x
         # realtime would dominate the measurement
-        digest = jnp.sum(out.data.astype(jnp.int32), axis=(1, 2)) + out.size_bits.sum()
+        digest = jnp.sum(out.data.astype(jnp.int32), axis=(0, 2)) + out.size_bits.sum()
         return out, stats, digest
 
     from ulcx.utils.compileopts import jit_options
@@ -209,7 +232,7 @@ def main():
     def decode_metric():
         # assemble contiguous byte streams on the host (container framing
         # is host-side file I/O in the tools too), then time batch decode
-        sizes = np.asarray(out.size_bits)
+        sizes = np.asarray(out.size_bits)  # [T, B] (scan_major)
         datas = np.asarray(out.data)
         # window = actual max block size, as the ULC2 container records
         # it (tools/ulc_Helper.h MaxBlockSize; the reference decode tool
@@ -219,8 +242,8 @@ def main():
         for i in range(b):
             offs = 0
             for j in range(t):
-                nb = int(sizes[i, j]) // 8
-                streams[i, offs : offs + nb] = datas[i, j, :nb]
+                nb = int(sizes[j, i]) // 8
+                streams[i, offs : offs + nb] = datas[j, i, :nb]
                 offs += nb
         streams = jnp.asarray(streams)
 

@@ -52,9 +52,19 @@ def main():
 
     t0 = time.perf_counter()
     if what == "encode":
+        # the exact bench.py enc_step graph (scan-major outputs + digest)
         from ulcx.codec.encoder import encode_stream_batched
 
-        fn = lambda x: encode_stream_batched(x, cfg, "cbr", rate_kbps=128.0)
+        def fn(x):
+            out, _ = encode_stream_batched(
+                x, cfg, "cbr", scan_major=True, rate_kbps=128.0
+            )
+            digest = (
+                jnp.sum(out.data.astype(jnp.int32), axis=(0, 2))
+                + out.size_bits.sum()
+            )
+            return out, digest
+
         x = jax.ShapeDtypeStruct((b, t, 2, n), jnp.float32, sharding=s)
         lowered = jax.jit(fn, in_shardings=s, out_shardings=s).lower(x)
     else:
@@ -65,7 +75,10 @@ def main():
         x = jax.ShapeDtypeStruct((b, t * win + 64), jnp.uint8, sharding=s)
         lowered = jax.jit(fn, in_shardings=s, out_shardings=s).lower(x)
     t1 = time.perf_counter()
-    compiled = lowered.compile()
+    from ulcx.utils.compileopts import jit_options
+
+    opts = jit_options()  # ULCX_COMPILE_EFFORT passthrough
+    compiled = lowered.compile(compiler_options=opts) if opts else lowered.compile()
     t2 = time.perf_counter()
     ma = compiled.memory_analysis()
     print(

@@ -58,6 +58,9 @@ def main():
         "stereo_abr128_bs4096": (
             2, 4096, 32, "abr", {"rate_kbps": 128.0, "avg_complexity": 0.5},
         ),
+        # P=16384: both encode AND decode kernels past the old decoder
+        # gate (the FSM kernel holds the full P<=32768 envelope since r5)
+        "stereo_cbr128_bs8192": (2, 8192, 16, "cbr", {"rate_kbps": 128.0}),
     }
     want = sys.argv[1:] or list(configs)
     b = int(os.environ.get("ULCX_BENCH_B", "512"))
@@ -78,9 +81,11 @@ def main():
         audio_seconds = b * t * n / 44100.0
 
         def step(x):
-            out, stats = batch_encode(x, cfg, mode, **kw)
+            # scan_major: skip the [T,B]->[B,T] output relayout (~25%
+            # of the graph's compile time, devtools/aot_out_probe.py)
+            out, stats = batch_encode(x, cfg, mode, scan_major=True, **kw)
             digest = (
-                jnp.sum(out.data.astype(jnp.int32), axis=(1, 2))
+                jnp.sum(out.data.astype(jnp.int32), axis=(0, 2))
                 + out.size_bits.sum()
             )
             return out, digest
@@ -116,15 +121,15 @@ def main():
         if os.environ.get("ULCX_BENCH_SKIP_DECODE", "0") != "1":
             from ulcx.parallel.mesh import batch_decode
 
-            sizes = np.asarray(out.size_bits)
+            sizes = np.asarray(out.size_bits)  # [T, B] (scan_major)
             datas = np.asarray(out.data)
             win = -(-int(sizes.max() // 8) // 64) * 64 + 64
             streams = np.zeros((b, t * win + win + 64), np.uint8)
             for i in range(b):
                 offs = 0
                 for j in range(t):
-                    nb = int(sizes[i, j]) // 8
-                    streams[i, offs : offs + nb] = datas[i, j, :nb]
+                    nb = int(sizes[j, i]) // 8
+                    streams[i, offs : offs + nb] = datas[j, i, :nb]
                     offs += nb
             sj = jnp.asarray(streams)
 

@@ -19,8 +19,14 @@ jax.config.update("jax_platforms", "cpu")
 from ulcx.utils.config import CodecConfig
 
 
-def run(n, c, mode, t=4, transients=True, **kw):
-    blocks = _material(n, t, c, transients=transients)
+def run(n, c, mode, t=4, transients=True, kind=None, **kw):
+    if kind is not None:
+        # realistic synthesized material (tests/material.py)
+        import material
+
+        blocks = material.blocks_of(kind, n, t, c)
+    else:
+        blocks = _material(n, t, c, transients=transients)
     cfg = CodecConfig(rate_hz=44100, n_chan=c, block_size=n, noise_run_window="gap")
     su, du = _encode_ulcx(blocks, cfg, mode, **kw)
     pu = _decode_ulcx(su, du, t, cfg)
@@ -77,6 +83,12 @@ CASES = [
     ("abr st128 bs1024 trans", dict(n=1024, c=2, mode="abr", rate_kbps=128.0, avg_complexity=0.5)),
     # bs4096 rides the factorized transform backend (auto: n > matmul_max_n)
     ("abr st128 bs4096 trans", dict(n=4096, c=2, mode="abr", t=3, rate_kbps=128.0, avg_complexity=0.5)),
+    # realistic synthesized material (tests/material.py)
+    ("cbr st128 bs2048 speech", dict(n=2048, c=2, mode="cbr", kind="speech", rate_kbps=128.0)),
+    ("cbr st128 bs2048 percus", dict(n=2048, c=2, mode="cbr", kind="percussion", rate_kbps=128.0)),
+    ("cbr st128 bs2048 poly", dict(n=2048, c=2, mode="cbr", kind="poly", rate_kbps=128.0)),
+    ("vbr q50 st bs1024 poly", dict(n=1024, c=2, mode="vbr", kind="poly", quality=50.0)),
+    ("abr st128 bs1024 percus", dict(n=1024, c=2, mode="abr", kind="percussion", rate_kbps=128.0, avg_complexity=0.5)),
 ]
 
 if sys.argv[1:]:

@@ -1,7 +1,11 @@
 """Large-P kernel-path validation on hardware, B=128:
 stereo bs4096 / P=8192 (default), mono bs8192 / P=8192 ("mono8192"),
 stereo bs8192 / P=16384 ("stereo8192"), mono bs16384 / P=16384
-("mono16384").
+("mono16384"), stereo bs16384 / P=32768 ("stereo16384"), mono bs32768 /
+P=32768 ("mono32768" — the top of the reference envelope), and the
+multichannel shapes "4ch4096" (n_chan=4 bs4096, P=16384) and "5ch2048"
+(n_chan=5 bs2048, P=10240 — odd channel count exercises the unpaired
+M/S tail channel).
 
 The threshold-keep v3 kernel's packed fields hold the reference's full
 BLOCK envelope P <= 32768 (segdelta 16-bit segment length, state ncp
@@ -10,11 +14,13 @@ with the scan path on real shapes — sizes for a candidate ladder and
 materialized bytes for chosen counts — running the kernel on the
 default (TPU) backend and the scan oracle on the CPU backend in the
 same process (prepare-side metadata computed once on CPU and fed to
-both, see below). The decode leg rides the production dispatcher
-(kernel FSM at P <= 8192, scan decoder beyond — the decode FSM carry
-packs pos in 14 bits).
+both, see below). The decode leg rides the production dispatcher,
+whose kernel FSM covers the same full P <= 32768 envelope (15-bit
+position carry, pallas_decode docstring).
 
-Usage: python devtools/p8192_check.py [mono8192|stereo8192|mono16384]
+Usage: python devtools/p8192_check.py [mono8192|stereo8192|mono16384|
+                                       stereo16384|mono32768|4ch4096|
+                                       5ch2048]
 """
 
 from __future__ import annotations
@@ -57,6 +63,14 @@ def main():
         n, c = 8192, 2
     elif mode == "mono16384":
         n, c = 16384, 1
+    elif mode == "stereo16384":
+        n, c = 16384, 2
+    elif mode == "mono32768":
+        n, c = 32768, 1
+    elif mode == "4ch4096":
+        n, c = 4096, 4
+    elif mode == "5ch2048":
+        n, c = 2048, 5
     tep.N, tep.C = n, c  # synth_block reads module globals
     tep.CFG = CodecConfig(rate_hz=44100, n_chan=c, block_size=n)
     cfg = tep.CFG
@@ -116,9 +130,8 @@ def main():
             ok += 1
     print(f"materialize: {ok} streams byte-equal")
 
-    # decode leg: the production dispatcher (FSM kernel at P <= 8192 —
-    # its carry packs pos in 14 bits — scan decoder beyond) vs the
-    # scan decoder on CPU, same streams
+    # decode leg: the production dispatcher (FSM kernel at P <= 32768,
+    # the full envelope) vs the scan decoder on CPU, same streams
     from ulcx.codec.decoder import decode_stream
     from ulcx.parallel.mesh import batch_decode
 

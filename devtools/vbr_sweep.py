@@ -54,7 +54,21 @@ def main():
     t = int(os.environ.get("ULCX_BENCH_T", "64"))
     n = int(os.environ.get("ULCX_BENCH_BS", "2048"))
     cfg = CodecConfig(rate_hz=44100, n_chan=2, block_size=n)
-    blocks = jnp.asarray(make_corpus(b, t, n))
+    mat = os.environ.get("ULCX_BENCH_MATERIAL", "tones")
+    if mat == "realistic":
+        # speech/percussion/poly corpus (tests/material.py) — cached,
+        # the python synth loops cost ~seconds per hundred streams
+        from bench import make_corpus_realistic
+
+        cache = f"/tmp/vbr_corpus_real_{b}_{t}_{n}.npy"
+        if os.path.exists(cache):
+            blocks = jnp.asarray(np.load(cache))
+        else:
+            arr = make_corpus_realistic(b, t, n)
+            np.save(cache, arr)
+            blocks = jnp.asarray(arr)
+    else:
+        blocks = jnp.asarray(make_corpus(b, t, n))
     audio_seconds = b * t * n / 44100.0
 
     def step(x, q):

@@ -91,10 +91,11 @@ def _snr(pcm, blocks):
     return 10 * np.log10(np.sum(ref**2) / max(np.sum(err**2), 1e-30))
 
 
-def _run_config(n, c, mode, t=4, transients=True, **kw):
+def _run_config(n, c, mode, t=4, transients=True, blocks=None, **kw):
     from ulcx.utils.config import CodecConfig
 
-    blocks = _material(n, t, c, transients=transients)
+    if blocks is None:
+        blocks = _material(n, t, c, transients=transients)
     cfg = CodecConfig(rate_hz=44100, n_chan=c, block_size=n, noise_run_window="gap")
     sizes_u, datas_u = _encode_ulcx(blocks, cfg, mode, **kw)
     pcm_u = _decode_ulcx(sizes_u, datas_u, t, cfg)
@@ -114,9 +115,9 @@ def _run_config(n, c, mode, t=4, transients=True, **kw):
     return size_delta, rms, dsnr, dec_rms
 
 
-def _check(n, c, mode, rms_limit=None, t=4, transients=True, **kw):
+def _check(n, c, mode, rms_limit=None, t=4, transients=True, blocks=None, **kw):
     size_delta, rms, dsnr, dec_rms = _run_config(
-        n, c, mode, t=t, transients=transients, **kw
+        n, c, mode, t=t, transients=transients, blocks=blocks, **kw
     )
     assert size_delta <= 0.01, size_delta
     assert dec_rms <= 1e-5, dec_rms
@@ -144,6 +145,37 @@ def test_vbr_quality_50():
 
 def test_abr_stereo_128():
     _check(1024, 2, "abr", rate_kbps=128.0, avg_complexity=0.5)
+
+
+# --- realistic material (tests/material.py: synthesized speech-like,
+# percussion, polyphonic fixtures — the reference was validated by
+# listening tests on real music, /root/reference/README.md:58; the
+# synthetic-tone corpus alone never exercised formant masking, dense
+# attack grids, or decaying polyphonic tails through the parity
+# harness). Same BASELINE bounds as the tonal configs.
+
+
+@pytest.mark.parametrize("kind", ["speech", "percussion", "poly"])
+def test_realistic_cbr128(kind):
+    import material
+
+    blocks = material.blocks_of(kind, 2048, 4, 2)
+    _check(2048, 2, "cbr", t=4, blocks=blocks, rate_kbps=128.0)
+
+
+def test_realistic_vbr_poly():
+    import material
+
+    blocks = material.blocks_of("poly", 1024, 4, 2)
+    _check(1024, 2, "vbr", t=4, blocks=blocks, quality=50.0)
+
+
+def test_realistic_abr_percussion():
+    import material
+
+    blocks = material.blocks_of("percussion", 1024, 4, 2)
+    _check(1024, 2, "abr", t=4, blocks=blocks,
+           rate_kbps=128.0, avg_complexity=0.5)
 
 
 def test_oracle_roundtrip_self():

@@ -519,7 +519,14 @@ def _bracket_search(size_fn, n_nz, budget, k: int, rounds: int):
     Layout-generic: n_nz/budget are [B] or [G, LAN]; candidates ride
     axis 1 (size_fn maps candidate grids to byte-rounded bit sizes of
     the same shape). All arithmetic is int32 so the flat and
-    lane-layout callers produce bit-identical brackets."""
+    lane-layout callers produce bit-identical brackets.
+
+    The rounds run as ONE lax.scan over a per-round is_seeded flag
+    (the seeded round already falls back to the classic grid when
+    seed_ok is false, so the bodies unify exactly): the round graph —
+    the costliest XLA-codegen unit in the whole encode compile,
+    ~38 s/instantiation (devtools/aot_bisect.py) — is compiled once
+    instead of once per round. Bit-identical brackets."""
     classic, seeded = _seed_plan(rounds)
     x1 = lambda a: jnp.expand_dims(a, 1)
     kshape = (1, k) + (1,) * (n_nz.ndim - 1)
@@ -560,27 +567,26 @@ def _bracket_search(size_fn, n_nz, budget, k: int, rounds: int):
             ok,
         )
 
-    for _ in range(classic):
-        step = jnp.maximum((hi - lo + k - 1) // k, 1)
-        cands = x1(lo) + x1(step) * karr1
-        cands_c = jnp.minimum(cands, x1(jnp.maximum(hi, 0)))
-        sizes = size_fn(cands_c)
-        lo, hi, s_lo, gap, den, seed_ok = update(cands, cands_c, sizes, lo, hi)
+    w = jnp.asarray(_SEED_W[k]).reshape(kshape)
 
-    if seeded:
+    def round_body(carry, is_seeded):
+        lo, hi, s_lo, gap, den, seed_ok = carry
+        step = jnp.maximum((hi - lo + k - 1) // k, 1)
+        std = x1(lo) + x1(step) * karr1
         n_star = jnp.clip(
             lo + (budget - s_lo) * gap // den, lo, jnp.maximum(hi, lo)
         )
-        w = jnp.asarray(_SEED_W[k]).reshape(kshape)
         off = (x1(gap) * w) >> 8
         sc = jnp.clip(x1(n_star) + off, x1(lo), x1(jnp.maximum(hi, lo)))
-        step = jnp.maximum((hi - lo + k - 1) // k, 1)
-        std = x1(lo) + x1(step) * karr1
-        cands = jnp.where(x1(seed_ok), sc, std)
+        cands = jnp.where(x1(seed_ok & is_seeded), sc, std)
         cands_c = jnp.minimum(cands, x1(jnp.maximum(hi, 0)))
         sizes = size_fn(cands_c)
-        lo, hi, *_ = update(cands, cands_c, sizes, lo, hi)
-    return lo, hi
+        return update(cands, cands_c, sizes, lo, hi), None
+
+    flags = jnp.asarray([False] * classic + ([True] if seeded else []))
+    carry = (lo, hi, s_lo, gap, den, seed_ok)
+    carry, _ = lax.scan(round_body, carry, flags)
+    return carry[0], carry[1]
 
 
 def _final_cands(lo, hi, k: int):

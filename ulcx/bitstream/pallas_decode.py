@@ -299,7 +299,9 @@ def fsm_kernel_call(wc, nybbles, p_tot: int, n: int, interpret: bool = False):
     code [G, T, LANES] i32 packed a|dn<<5|qi<<13,
     consumed [G, LANES] i32, corrupt [G, LANES] i32)."""
     g, t_len = nybbles.shape[0], nybbles.shape[1]
-    t_chunk = _chunk_of(max(t_len, 1), T_CHUNK)
+    # the token axis is padded up to the chunk, so any chunk size is
+    # legal: one chunk for short windows, T_CHUNK-blocks beyond
+    t_chunk = t_len if t_len <= T_CHUNK else T_CHUNK
     t_pad = (-t_len) % t_chunk
     if t_pad:
         nybbles = jnp.concatenate(

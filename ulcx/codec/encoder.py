@@ -277,9 +277,15 @@ def encode_block_batched(carry, new_blocks, cfg: CodecConfig, mode: str, **kw):
     return carry, enc
 
 
-def encode_stream_batched(blocks, cfg: CodecConfig, mode: str, carry=None, **kw):
+def encode_stream_batched(blocks, cfg: CodecConfig, mode: str, carry=None,
+                          scan_major: bool = False, **kw):
     """Encode [B, T, C, N] batched streams. Returns (EncodedBlock with
-    leading [B, T], carry).
+    leading [B, T], carry) — or leading [T, B] with scan_major=True:
+    the block axis is scanned, so [T, B] is the layout the outputs are
+    produced in, and the [T,B]->[B,T] relayout of the stacked byte
+    planes costs ~25% of the whole graph's XLA compile time
+    (devtools/aot_out_probe.py: 136 s vs 179 s) for pure output sugar.
+    Throughput/bench paths pass scan_major=True and index [t, i].
 
     With cfg.flat_stream, only window control scans over blocks and
     everything else runs once over the flattened [B*T] batch
@@ -301,6 +307,8 @@ def encode_stream_batched(blocks, cfg: CodecConfig, mode: str, carry=None, **kw)
         out = jax.tree_util.tree_map(
             lambda x: x.reshape((b, t) + x.shape[1:]), enc
         )
+        if scan_major:
+            out = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), out)
         return out, carry
 
     fold = cfg.fold_bitstream
@@ -324,19 +332,21 @@ def encode_stream_batched(blocks, cfg: CodecConfig, mode: str, carry=None, **kw)
         else:
             enc_fn = jax.vmap(lambda ab: _encode_analyzed(ab, cfg, mode, **kw))
         enc = lax.map(enc_fn, abf)
-        out = jax.tree_util.tree_map(
-            lambda x: jnp.swapaxes(
-                x.reshape((t, b) + x.shape[2:]), 0, 1
-            ),
-            enc,
-        )
+        reshape = lambda x: x.reshape((t, b) + x.shape[2:])
+        if scan_major:
+            out = jax.tree_util.tree_map(reshape, enc)
+        else:
+            out = jax.tree_util.tree_map(
+                lambda x: jnp.swapaxes(reshape(x), 0, 1), enc
+            )
         return out, carry
 
     def step(c, blk_t):
         return encode_block_batched(c, blk_t, cfg, mode, **kw)
 
     carry, out = lax.scan(step, carry, blocks.transpose(1, 0, 2, 3))
-    out = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), out)
+    if not scan_major:
+        out = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), out)
     return out, carry
 
 

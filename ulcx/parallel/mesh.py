@@ -29,9 +29,12 @@ def data_mesh(devices=None, name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (name,))
 
 
-def batch_encode(blocks, cfg: CodecConfig, mode: str, mesh: Mesh | None = None, **kw):
+def batch_encode(blocks, cfg: CodecConfig, mode: str, mesh: Mesh | None = None,
+                 scan_major: bool = False, **kw):
     """Encode a batch of streams: blocks [B, T, C, N] -> EncodedBlock
-    arrays with leading [B, T], plus psum'd aggregate stats.
+    arrays with leading [B, T] ([T, B] with scan_major=True — skips the
+    output relayout, ~25% of the graph's compile time; see
+    encode_stream_batched), plus psum'd aggregate stats.
 
     Without a mesh this is a plain vmap; with a mesh the batch axis is
     sharded over it (pure DP, collective-free except metric reduction).
@@ -40,7 +43,7 @@ def batch_encode(blocks, cfg: CodecConfig, mode: str, mesh: Mesh | None = None, 
     from ulcx.codec.encoder import encode_stream_batched
 
     def vmapped(bb):
-        out, _ = encode_stream_batched(bb, cfg, mode, **kw)
+        out, _ = encode_stream_batched(bb, cfg, mode, scan_major=scan_major, **kw)
         return out
 
     if mesh is None:
@@ -51,12 +54,14 @@ def batch_encode(blocks, cfg: CodecConfig, mode: str, mesh: Mesh | None = None, 
     from jax import shard_map
 
     axis = mesh.axis_names[0]
+    # scan_major leaves are [T, B_shard, ...]: the batch axis moves to 1
+    out_spec = P(None, axis) if scan_major else P(axis)
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(axis),),
-        out_specs=(P(axis), P()),
+        out_specs=(out_spec, P()),
         check_vma=False,
     )
     def sharded(b):
