@@ -111,19 +111,31 @@ def _forward_fill(values, valid, init):
     return jnp.where(f, v, jnp.asarray(init, values.dtype))
 
 
+@lru_cache(maxsize=64)
+def _band_onehot(m: int, beg: tuple, end: tuple):
+    oh = np.zeros((m, N_BARK_BANDS), np.float32)
+    for b in range(N_BARK_BANDS):
+        oh[beg[b] : end[b], b] = 1.0
+    return oh
+
+
 def _band_sums(data, log_data, beg, end):
-    """(floor, peak, peak_w) over [beg, end) per band via ONE stacked
-    inclusive cumsum; the zero boundary is folded into static index
-    masks instead of a length-m+1 concat (odd minor dims force relayout
-    copies). Bit-identical to the exclusive-concat form."""
+    """(floor, peak, peak_w) over [beg, end) per band.
+
+    NOT a prefix-sum difference: the reference accumulates its LineSum
+    cursors in DOUBLE (ulcEncoder_Psyopt.c:16-50) exactly because band
+    sums of wide-dynamic-range spectra cancel catastrophically when
+    formed as differences of whole-spectrum running totals — in f32 a
+    quiet band's peak_w comes out ~1e-7 * total instead of its own
+    ~1e-13, and log(peak_w) is then off by up to ~15 nepers (measured
+    on polyphonic material; round-5 NOTES). Instead each band sums only
+    its OWN [beg, end) lines through a 0/1 [m, 25] matmul — positive
+    same-magnitude in-band accumulation, relative error ~1e-7, and the
+    MXU does the reduction."""
+    oh = jnp.asarray(_band_onehot(data.shape[-1], tuple(beg), tuple(end)))
     stacked = jnp.stack([log_data, log_data * data, data], axis=-2)
-    incl = jnp.cumsum(stacked, axis=-1)  # [..., 3, m]
-
-    def take(idx):
-        v = incl[..., np.maximum(idx - 1, 0)]  # [..., 3, n_bands]
-        return v * jnp.asarray((idx > 0).astype(np.float32))
-
-    s = take(end) - take(beg)
+    hi = lax.Precision.HIGHEST
+    s = jnp.matmul(stacked, oh, precision=hi)  # [..., 3, n_bands]
     return s[..., 0, :], s[..., 1, :], s[..., 2, :]
 
 
