@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from ulcx.codec.decoder import decode_stream
 from ulcx.codec.encoder import encode_stream, max_block_bytes
@@ -100,10 +101,23 @@ def test_kernel_gate_p32768():
         )
         assert _use_kernel(cfg, 128), (c, n)
         assert _use_kernel(cfg, 8), (c, n)  # pads to 128 lanes
+    # use_pallas='on' FORCES the kernels: an out-of-envelope shape is a
+    # loud ValueError (mirrors the noise_run_window='gap' gate), never a
+    # silent scan fallback. 'auto' falls back quietly.
     cfg2 = CodecConfig(
         rate_hz=44100, n_chan=8, block_size=8192, use_pallas="on"
     )
-    assert not _use_kernel(cfg2, 128)  # P=65536 over the cap
+    with pytest.raises(ValueError, match="outside the kernel envelope"):
+        _use_kernel(cfg2, 128)  # P=65536 over the cap
+    cfg3 = CodecConfig(
+        rate_hz=44100, n_chan=2, block_size=2048, use_pallas="on"
+    )
+    with pytest.raises(ValueError, match="batch % 8"):
+        _use_kernel(cfg3, 3)  # batch not a multiple of 8
+    cfg2a = CodecConfig(
+        rate_hz=44100, n_chan=8, block_size=8192, use_pallas="auto"
+    )
+    assert not _use_kernel(cfg2a, 128)  # auto: quiet fallback
 
     segdelta, _, _, _ = _prep_tables(32768, 1)
     assert segdelta.max() == 32768.0   # needs the 16th bit, unclipped
