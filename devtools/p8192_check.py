@@ -71,6 +71,11 @@ def main():
         n, c = 4096, 4
     elif mode == "5ch2048":
         n, c = 2048, 5
+    # P=32768 at B=128 exceeds HBM (the batched analysis candidates
+    # alone are ~13 GB of intermediates); the kernel path is still
+    # exercised at full lane width because fast_encode pads B -> 128.
+    if c * n > 16384:
+        b = int(os.environ.get("ULCX_CHECK_B", "32"))
     tep.N, tep.C = n, c  # synth_block reads module globals
     tep.CFG = CodecConfig(rate_hz=44100, n_chan=c, block_size=n)
     cfg = tep.CFG

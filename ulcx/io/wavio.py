@@ -172,6 +172,38 @@ class WavReader:
             x = np.concatenate([x, np.zeros((n - take) * info.n_chan, np.float32)])
         return x
 
+    def int_scale(self) -> float | None:
+        """2**-k such that ``read_frames() == read_frames_int() * scale``
+        exactly, or None when the source format has no small-integer
+        form (PCM24/PCM32/FLOAT32). Lets callers ship 1-2 bytes/sample
+        to an accelerator and scale there: int8/int16 -> float32 is
+        exact, so the result is bit-identical to read_frames()."""
+        info = self.info
+        if info.fmt_tag == WAVE_FORMAT_PCM and info.bits == 8:
+            return 2.0**-7
+        if info.fmt_tag == WAVE_FORMAT_PCM and info.bits == 16:
+            return 2.0**-15
+        return None
+
+    def read_frames_int(self, n: int) -> np.ndarray:
+        """Read n frames as int8 (PCM8) / int16 (PCM16) [n * n_chan]
+        interleaved, zero-padded. Only valid when int_scale() is not
+        None. PCM8 is stored unsigned-offset-128; the xor recenters it
+        (reference WavIO_Helper.c PCM8u convention)."""
+        info = self.info
+        bpf = (info.bits // 8) * info.n_chan
+        avail = max(0, info.n_samples - self._frames_read)
+        take = min(n, avail)
+        raw = np.frombuffer(self.f.read(take * bpf), np.uint8)
+        self._frames_read += take
+        if info.bits == 8:
+            x = (raw ^ np.uint8(0x80)).view(np.int8)
+        else:
+            x = raw.view("<i2")
+        if take < n:
+            x = np.concatenate([x, np.zeros((n - take) * info.n_chan, x.dtype)])
+        return x
+
     def close(self):
         self.f.close()
 
@@ -203,6 +235,21 @@ class WavWriter:
 
     def write_frames(self, x: np.ndarray):
         raw = float_to_raw(np.asarray(x, np.float32).reshape(-1), self.bits, self.fmt_tag)
+        self.f.write(raw.tobytes())
+        self.data_bytes += raw.size
+
+    def write_frames_int(self, x: np.ndarray):
+        """Write pre-converted integer samples (int8 for PCM8, int16
+        for PCM16) — the caller did the scale/clamp/rint, e.g. on an
+        accelerator. PCM8 recenters to the stored unsigned-offset-128
+        form here."""
+        x = np.ascontiguousarray(x).reshape(-1)
+        if self.bits == 8:
+            raw = x.view(np.uint8) ^ np.uint8(0x80)
+        elif self.bits == 16:
+            raw = x.astype("<i2", copy=False).view(np.uint8)
+        else:
+            raise ValueError("write_frames_int: only PCM8/PCM16")
         self.f.write(raw.tobytes())
         self.data_bytes += raw.size
 

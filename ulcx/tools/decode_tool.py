@@ -89,24 +89,46 @@ def main(argv=None) -> int:
         and (cfg.use_pallas == "on" or jax.default_backend() not in ("cpu",))
         and cfg.n_chan * cfg.block_size <= 32768
     )
+    # Transfer lever (NOTES.md round-5): for PCM8/PCM16 output the
+    # float->int conversion runs ON DEVICE, so the tunnel carries 1-2
+    # bytes/sample instead of 4. jnp.rint(jnp.clip(...)) is bit-exact
+    # vs the host converters (lrintf = round-half-even; same f32 scale
+    # and clamp bounds — native/ulcio.cpp, io/wavio.py float_to_raw);
+    # equality is asserted in tests/test_tools.py.
+    if bits == 8:
+        def _conv(p):
+            return jnp.rint(
+                jnp.clip(p * jnp.float32(2.0**7), -128.0, 127.0)
+            ).astype(jnp.int8)
+    elif bits == 16:
+        def _conv(p):
+            return jnp.rint(
+                jnp.clip(p * jnp.float32(2.0**15), -32768.0, 32767.0)
+            ).astype(jnp.int16)
+    else:  # PCM24/FLOAT32: no byte win from an int form; ship f32
+        def _conv(p):
+            return p
+
     if use_pipelined:
         from ulcx.codec.decoder import decode_stream_pipelined
         from ulcx.utils.config import mosaic_interpret
 
-        dec_fn = jax.jit(
-            lambda s, off, carry: decode_stream_pipelined(
+        def _dec(s, off, carry):
+            pcm, bits_arr, corrupt, st = decode_stream_pipelined(
                 s, chunk, window, cfg, offset=off, carry=carry,
                 interpret=mosaic_interpret(),
-            ),
-            compiler_options=jit_options(default="lo"),
-        )
+            )
+            return _conv(pcm), bits_arr, corrupt, st
+
+        dec_fn = jax.jit(_dec, compiler_options=jit_options(default="lo"))
     else:
-        dec_fn = jax.jit(
-            lambda s, off, carry: decode_stream(
+        def _dec(s, off, carry):
+            pcm, bits_arr, corrupt, st = decode_stream(
                 s, chunk, window, cfg, offset=off, carry=carry
-            ),
-            compiler_options=jit_options(default="lo"),
-        )
+            )
+            return _conv(pcm), bits_arr, corrupt, st
+
+        dec_fn = jax.jit(_dec, compiler_options=jit_options(default="lo"))
 
     from ulcx.codec.decoder import DecoderCarry
 
@@ -129,7 +151,11 @@ def main(argv=None) -> int:
                 failed = True
                 take = int(np.argmax(corrupt_np))
             pcm_np = np.asarray(pcm)[:take]  # [take, C, N]
-            wav.write_frames(pcm_np.transpose(0, 2, 1).reshape(-1))
+            frames = pcm_np.transpose(0, 2, 1).reshape(-1)
+            if bits in (8, 16):
+                wav.write_frames_int(frames)  # device-converted ints
+            else:
+                wav.write_frames(frames)
             done += take
             now = time.time()
             if now - last_print >= 0.5:

@@ -103,10 +103,18 @@ def main(argv=None) -> int:
 
     from ulcx.utils.compileopts import jit_options
 
-    enc_fn = jax.jit(
-        lambda blocks, carry: encode_stream(blocks, cfg, mode, carry=carry, **kw),
-        compiler_options=jit_options(default="lo"),
-    )
+    # Transfer lever 1 (NOTES.md round-5): PCM8/16 sources upload raw
+    # int8/int16 samples (1-2 bytes/sample instead of 4) and scale to
+    # float ON DEVICE — int->f32 is exact, so encoded bytes are
+    # bit-identical to the float upload path.
+    int_scale = wav.int_scale()
+
+    def _enc(blocks, carry):
+        if int_scale is not None:
+            blocks = blocks.astype(jnp.float32) * jnp.float32(int_scale)
+        return encode_stream(blocks, cfg, mode, carry=carry, **kw)
+
+    enc_fn = jax.jit(_enc, compiler_options=jit_options(default="lo"))
 
     header = UlcHeader(
         block_size=block_size,
@@ -148,14 +156,15 @@ def main(argv=None) -> int:
             left = n_blocks
             while left > 0:
                 take = min(chunk, left)
-                frames = wav.read_frames(take * n)  # interleaved, zero padded
-                blocks = (
-                    frames.reshape(take, n, c).transpose(0, 2, 1).astype(np.float32)
-                )
+                if int_scale is not None:  # raw-int upload (exact)
+                    frames = wav.read_frames_int(take * n)
+                else:
+                    frames = wav.read_frames(take * n)  # interleaved, 0-pad
+                blocks = frames.reshape(take, n, c).transpose(0, 2, 1)
                 if take < chunk:  # pad to compile-once chunk shape
-                    pad = np.zeros((chunk - take, c, n), np.float32)
+                    pad = np.zeros((chunk - take, c, n), blocks.dtype)
                     blocks = np.concatenate([blocks, pad], 0)
-                q.put((blocks, take))
+                q.put((np.ascontiguousarray(blocks), take))
                 left -= take
             q.put(None)
         except BaseException as e:  # noqa: BLE001
@@ -169,7 +178,14 @@ def main(argv=None) -> int:
     def _flush(encoded, take):
         nonlocal total_bytes, max_bytes, cx_sum, done_blocks, last_print
         sizes = np.asarray(encoded.size_bits)[:take]
-        datas = np.asarray(encoded.data)[:take]
+        # Transfer lever 2 (NOTES.md round-5): fetch only the used
+        # prefix of the [chunk, max_block_bytes] byte planes — sizes
+        # are known first, so slice on device before pulling. Rounding
+        # the slice width to 512 bytes bounds the number of distinct
+        # slice programs to max_block_bytes/512.
+        used = (int(sizes.max()) // 8 + 511) // 512 * 512 if take else 512
+        used = min(max(used, 512), encoded.data.shape[1])
+        datas = np.asarray(encoded.data[:take, :used])
         cxs = np.asarray(encoded.complexity)[:take]
         packed = _native.pack_blocks(datas, sizes)  # C++ fast path
         if packed is not None:
