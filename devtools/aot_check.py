@@ -55,9 +55,14 @@ def main():
         # the exact bench.py enc_step graph (scan-major outputs + digest)
         from ulcx.codec.encoder import encode_stream_batched
 
+        # scan_major matches bench.py's headline graph (the [T,B]->[B,T]
+        # relayout alone is ~25% of compile); ULCX_AOT_SCANMAJOR=0 for
+        # the public-default layout
+        sm = os.environ.get("ULCX_AOT_SCANMAJOR", "1") == "1"
+
         def fn(x):
             out, _ = encode_stream_batched(
-                x, cfg, "cbr", scan_major=True, rate_kbps=128.0
+                x, cfg, "cbr", scan_major=sm, rate_kbps=128.0
             )
             digest = (
                 jnp.sum(out.data.astype(jnp.int32), axis=(0, 2))

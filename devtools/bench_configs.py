@@ -27,6 +27,8 @@ def main():
     sys.path.insert(0, ROOT)
     import jax
 
+    if os.environ.get("ULCX_PLATFORM"):  # smoke-testing off the tunnel
+        jax.config.update("jax_platforms", os.environ["ULCX_PLATFORM"])
     try:
         jax.config.update(
             "jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache")
@@ -92,11 +94,25 @@ def main():
 
         from ulcx.utils.compileopts import jit_options
 
+        # Force the corpus onto the device BEFORE timing compile, and
+        # AOT-compile from the shape only: compile_s is then TRUE
+        # compile (the r4 923 s figure was ~2/3 tunnel transfer of the
+        # ~536 MB corpus riding the first traced call — VERDICT r4).
+        t0 = time.perf_counter()
+        blocks = jax.device_put(blocks)
+        np.asarray(blocks[0, 0, 0, :8])
+        upload_s = time.perf_counter() - t0
         fn = jax.jit(step, compiler_options=jit_options())
         t0 = time.perf_counter()
-        out, digest = fn(blocks)
-        np.asarray(digest)
+        compiled = fn.lower(
+            jax.ShapeDtypeStruct(blocks.shape, blocks.dtype)
+        ).compile()
         compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out, digest = compiled(blocks)
+        np.asarray(digest)
+        first_exec_s = time.perf_counter() - t0
+        fn = compiled
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -114,6 +130,8 @@ def main():
             "vs_baseline": round(rtf / 2000.0, 4),
             "avg_kbps": round(kbps, 2),
             "compile_s": round(compile_s, 1),
+            "upload_s": round(upload_s, 1),
+            "first_exec_s": round(first_exec_s, 1),
         }
         results[name] = rec
         print(json.dumps(rec), flush=True)
@@ -140,11 +158,20 @@ def main():
                 )
                 return pcm, corrupt, digest
 
+            t0 = time.perf_counter()
+            sj = jax.device_put(sj)
+            np.asarray(sj[0, :8])
+            dupload_s = time.perf_counter() - t0
             dfn = jax.jit(dec_step, compiler_options=jit_options())
+            t0 = time.perf_counter()
+            dfn = dfn.lower(
+                jax.ShapeDtypeStruct(sj.shape, sj.dtype)
+            ).compile()
+            dcompile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             pcm, corrupt, ddig = dfn(sj)
             np.asarray(ddig)
-            dcompile_s = time.perf_counter() - t0
+            dfirst_exec_s = time.perf_counter() - t0
             assert not np.asarray(corrupt).any(), name
             best_d = float("inf")
             for _ in range(3):
@@ -158,6 +185,8 @@ def main():
                 "unit": "x_realtime",
                 "vs_baseline": round(audio_seconds / best_d / 2000.0, 4),
                 "compile_s": round(dcompile_s, 1),
+                "upload_s": round(dupload_s, 1),
+                "first_exec_s": round(dfirst_exec_s, 1),
             }
             results[f"decode_{name}"] = drec
             print(json.dumps(drec), flush=True)
@@ -193,6 +222,8 @@ def main():
         os.environ.get("ULCX_BENCH_TBACKEND", "auto") != "auto"
         or os.environ.get("ULCX_BENCH_MAXN", "2048") != "2048"
         or os.environ.get("ULCX_COMPILE_EFFORT", "")
+        or os.environ.get("ULCX_PLATFORM", "")
+        or os.environ.get("ULCX_BENCH_B", "512") != "512"
     ):
         print("non-default transform knobs: skipping bench_configs.json write")
         return
