@@ -583,9 +583,18 @@ def _bracket_search(size_fn, n_nz, budget, k: int, rounds: int):
         sizes = size_fn(cands_c)
         return update(cands, cands_c, sizes, lo, hi), None
 
-    flags = jnp.asarray([False] * classic + ([True] if seeded else []))
+    flags_py = [False] * classic + ([True] if seeded else [])
     carry = (lo, hi, s_lo, gap, den, seed_ok)
-    carry, _ = lax.scan(round_body, carry, flags)
+    if os.environ.get("ULCX_LADDER_SCAN", "1") == "0":
+        # Unrolled A/B variant: the device trace at r5 HEAD shows the
+        # round scan paying ~0.7 ms/round of [G,LAN] carry copy stalls
+        # (copy-start of s32[4,128] around while.77); unrolling trades
+        # ~38 s of compile (the round graph instantiates per round)
+        # for those copies. Bit-identical brackets.
+        for f in flags_py:
+            carry, _ = round_body(carry, jnp.asarray(f))
+        return carry[0], carry[1]
+    carry, _ = lax.scan(round_body, carry, jnp.asarray(flags_py))
     return carry[0], carry[1]
 
 

@@ -291,19 +291,22 @@ def _p3(*refs, materialize: bool, unroll: int):
         q_ev = (srow >> 16) & 0x1F
         coded = (srow >> 21) & 1
 
-        prev_q = jnp.where(segstart == 1, jnp.int32(-1), prev_q)
-        tail_done = jnp.where(segstart == 1, jnp.int32(0), tail_done)
-        skip = p < covered
-        coded_ev = (~skip) & (coded == 1)
+        # Speculation: every event decision below is computed from
+        # DATA ONLY (this position's loads + thr planes); the carry
+        # enters only through the late act/neq selects. The walk is
+        # latency-bound on the carry-to-carry dependence chain
+        # (NOTES.md round-4 budget): hoisting the run/price
+        # where-chains off that chain shortens covered's loop-carried
+        # path from ~10 dependent ops to 3 (cmp, and, select).
+        # Bit-identical: speculated values at inactive positions are
+        # masked (cnt = 0 -> hb-1 = 0 packs a zero word; covered and
+        # prev_q keep their old values through the selects).
+        is_code = coded == 1
         is_tail = (ncp - p) >= segdelta
-        gap_ev = (~skip) & (coded == 0) & (~is_tail)
-
+        gp = (~is_code) & (~is_tail)
         qq = q_ev
-        need_q = (coded_ev | gap_ev) & (qq != prev_q)
-        lead = (prev_q >= 0).astype(jnp.int32)
         s = qq - 5
         ext_q = (s >= 14).astype(jnp.int32)
-        q_cnt = jnp.where(need_q, 1 + ext_q + lead, 0)
 
         z_r = jnp.clip(ncp - p, 0, SENT)
         if materialize:
@@ -327,9 +330,9 @@ def _p3(*refs, materialize: bool, unroll: int):
             )
             noise_ok = qq >= ((thr >> 12) & 63)
 
-        do_resc = gap_ev & (z_r <= 2) & resc_ok
-        do_noise = gap_ev & (~do_resc) & (z_r >= 16) & noise_ok
-        do_zs = gap_ev & (~do_resc) & (~do_noise) & (z_r < 33)
+        do_resc = gp & (z_r <= 2) & resc_ok
+        do_noise = gp & (~do_resc) & (z_r >= 16) & noise_ok
+        do_zs = gp & (~do_resc) & (~do_noise) & (z_r < 33)
         run_n = jnp.where(
             do_resc,
             z_r,
@@ -342,13 +345,21 @@ def _p3(*refs, materialize: bool, unroll: int):
         run_cnt = jnp.where(
             do_resc, z_r, jnp.where(do_noise, 4, jnp.where(do_zs, 2, 3))
         )
+        evt = is_code | gp
+        cov_evt = jnp.where(is_code, p + 1, p + run_n)
+        base_cnt = jnp.where(is_code, jnp.int32(1), run_cnt)
 
-        cnt = jnp.where(
-            coded_ev, q_cnt + 1, jnp.where(gap_ev, q_cnt + run_cnt, 0)
-        )
-        new_covered = jnp.where(
-            coded_ev, p + 1, jnp.where(gap_ev, p + run_n, covered)
-        )
+        # --- carry chain (everything above is speculative/data-only) ---
+        prev_q = jnp.where(segstart == 1, jnp.int32(-1), prev_q)
+        tail_done = jnp.where(segstart == 1, jnp.int32(0), tail_done)
+        skip = p < covered
+        act = (~skip) & evt
+        coded_ev = act & is_code
+        lead = (prev_q >= 0).astype(jnp.int32)
+        need_q = act & (qq != prev_q)
+        q_cnt = jnp.where(need_q, 1 + ext_q + lead, 0)
+        cnt = jnp.where(act, q_cnt + base_cnt, 0)
+        new_covered = jnp.where(act, cov_evt, covered)
         new_prev_q = jnp.where(need_q, qq, prev_q)
 
         # --- tail token (fires exactly at p_tail = max(last_coded+1,
