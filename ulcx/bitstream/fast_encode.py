@@ -585,16 +585,18 @@ def _bracket_search(size_fn, n_nz, budget, k: int, rounds: int):
 
     flags_py = [False] * classic + ([True] if seeded else [])
     carry = (lo, hi, s_lo, gap, den, seed_ok)
-    if os.environ.get("ULCX_LADDER_SCAN", "1") == "0":
-        # Unrolled A/B variant: the device trace at r5 HEAD shows the
-        # round scan paying ~0.7 ms/round of [G,LAN] carry copy stalls
-        # (copy-start of s32[4,128] around while.77); unrolling trades
-        # ~38 s of compile (the round graph instantiates per round)
-        # for those copies. Bit-identical brackets.
-        for f in flags_py:
-            carry, _ = round_body(carry, jnp.asarray(f))
+    if os.environ.get("ULCX_LADDER_SCAN", "0") == "1":
+        # Scanned A/B variant (was briefly the default): one lax.scan
+        # over a per-round is_seeded flag. Measured WORSE on both axes
+        # at r5 HEAD — end-to-end T=64 encode 2588x vs 2635x unrolled
+        # (the scan pays [G,LAN] carry-copy stalls around while.77,
+        # r5 device trace), and AOT compile 144.2 s vs 111.9 s clean
+        # (the round scan was a codegen pessimization, not a dedup
+        # win). Kept as the opt-in; brackets are bit-identical.
+        carry, _ = lax.scan(round_body, carry, jnp.asarray(flags_py))
         return carry[0], carry[1]
-    carry, _ = lax.scan(round_body, carry, jnp.asarray(flags_py))
+    for f in flags_py:
+        carry, _ = round_body(carry, jnp.asarray(f))
     return carry[0], carry[1]
 
 
