@@ -506,10 +506,20 @@ _SEED_W = {
 
 
 def _seed_plan(rounds: int):
-    """(classic_size_rounds, use_seeded_round) before the final round."""
+    """(classic_size_rounds, use_seeded_round) before the final round.
+
+    ONE classic round suffices at every P: the seeded round's
+    gap-proportional spread covers the interpolation error even when
+    the bracket is the full first-round step (P/8). Measured at bs4096
+    (devtools/search_seed_study.py 48 4096, classic->seeded->final
+    emulation): interp |err| max 64 vs a seeded span of ~0.32*gap;
+    final selection lands exact 39% / p50 -1 / worst -5 coefficients
+    of n_true p50 1219 — inside the <=1%-under contract. This drops a
+    full size round (p1+p2 state rebuild + p3-size walk) at
+    rounds >= 5 shapes (P >= 8192: stereo bs4096+, mono bs8192+)."""
     if rounds - 1 < 2:
         return rounds - 1, False
-    return max(rounds - 3, 1), True
+    return 1, True
 
 
 def _bracket_search(size_fn, n_nz, budget, k: int, rounds: int):
