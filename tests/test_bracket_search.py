@@ -85,3 +85,49 @@ def test_degenerate_inputs():
         assert 0 <= n_sel[i] <= n_nz[i]
         if n_sel[i] > 0:
             assert curves[i, n_sel[i]] <= budget[i]
+
+
+def test_rounds5_schedule_tightness():
+    """P >= 8192 shapes run rounds=5 with ONE classic round (r5 seed
+    plan); never-infeasible must hold everywhere, and the under-max
+    tail is bounded by max(6, 1%): one classic round leaves a wider
+    seeded bracket, whose final-round spacing can land ~6 under on
+    small-n concave curves — at the real P >= 8192 shapes n_true is in
+    the thousands (bs4096 study: worst -5 of n_true p50 1219), so the
+    1% clause governs in practice."""
+    rng = np.random.default_rng(7)
+    b = 64
+    curves = _curves(rng, b)
+    n_nz = rng.integers(200, P, b)
+    for kbps_frac in (0.15, 0.5, 0.9):
+        budget = np.array(
+            [int(curves[i, int(n_nz[i])] * kbps_frac) for i in range(b)]
+        )
+        n_sel = _run(curves, n_nz, budget, rounds=5)
+        for i in range(b):
+            feas_n = np.nonzero(curves[i, : int(n_nz[i]) + 1] <= budget[i])[0]
+            n_true = int(feas_n.max()) if len(feas_n) else 0
+            assert curves[i, n_sel[i]] <= budget[i] or n_sel[i] == 0
+            assert n_sel[i] <= n_true
+            assert n_true - n_sel[i] <= max(6, 0.01 * n_true), (
+                i, i % 4, n_true, int(n_sel[i]), int(budget[i]),
+            )
+
+
+def test_ladder_scan_unroll_parity(monkeypatch):
+    """ULCX_LADDER_SCAN=1 (lax.scan over rounds) must produce brackets
+    bit-identical to the unrolled default."""
+    import os
+
+    rng = np.random.default_rng(9)
+    b = 32
+    curves = _curves(rng, b)
+    n_nz = rng.integers(200, P, b)
+    budget = np.array(
+        [int(curves[i, int(n_nz[i])] * 0.4) for i in range(b)]
+    )
+    monkeypatch.delenv("ULCX_LADDER_SCAN", raising=False)
+    a = _run(curves, n_nz, budget, rounds=5)
+    monkeypatch.setenv("ULCX_LADDER_SCAN", "1")
+    c = _run(curves, n_nz, budget, rounds=5)
+    assert (a == c).all()
