@@ -170,7 +170,7 @@ def main():
             assert rel < 1e-4, (i, rel)
             ok += 1
     print(f"decode: {ok} streams match the scan decoder")
-    print("P=8192 kernel path: OK")
+    print(f"P={c * n} kernel path ({mode or 'stereo4096'}, B={b}): OK")
 
 
 if __name__ == "__main__":
