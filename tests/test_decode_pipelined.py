@@ -6,6 +6,7 @@ PCM at float level (batched IMDCT accumulation differs by shape)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from ulcx.codec.decoder import (
     DecoderCarry,
@@ -105,3 +106,27 @@ def test_pipelined_corrupt_flagging(rng):
     cs, cp = np.asarray(cor_s), np.asarray(cor_p)
     first = cs.argmax() if cs.any() else T
     np.testing.assert_array_equal(cp[: first + 1], cs[: first + 1])
+
+
+@pytest.mark.parametrize("delta", [1, 2, 3])
+def test_pipelined_unaligned_window(rng, delta):
+    """window_bytes % 4 != 0 must work: the word-slab slice rounds up
+    so the worst-case phase slice byt[3:3+window_bytes] stays in
+    bounds (ADVICE r4: the old n_words clamped the slice short for
+    window_bytes % 4 in {2, 3} and failed at trace time)."""
+    sj = _stream(rng)
+    win = max_block_bytes(CFG)
+
+    pcm_s, bits_s, cor_s, _ = jax.jit(
+        lambda s: decode_stream(s, T, win, CFG)
+    )(sj)
+    pcm_p, bits_p, cor_p, _ = jax.jit(
+        lambda s: decode_stream_pipelined(
+            s, T, win + delta, CFG, interpret=True
+        )
+    )(sj)
+    np.testing.assert_array_equal(np.asarray(bits_p), np.asarray(bits_s))
+    assert not np.asarray(cor_p).any()
+    ref = np.asarray(pcm_s, np.float64)
+    err = np.asarray(pcm_p, np.float64) - ref
+    assert np.sqrt(err.var() / max(ref.var(), 1e-30)) < 1e-5

@@ -94,3 +94,35 @@ def test_fold_bitstream_equals_per_block(rng):
     (same comparison harness as flat mode; fold = t folds everything
     into one bitstream chunk)."""
     _compare(rng, t=2, use_pallas="on", mode="fold")
+
+
+def test_fold_bitstream_user_setting_honored(rng):
+    """A caller-set fold (e.g. to bound kernel state-plane memory on
+    long chunks) must survive encode_stream: only the DEFAULT fold=1
+    is auto-folded to T (ADVICE r4: the old code overrode any value).
+    Bytes are chunk-invariant, so honoring fold=t//2 must still match
+    the whole-chunk encode byte-for-byte."""
+    import dataclasses
+
+    from ulcx.codec.encoder import encode_stream
+
+    t, n = 4, 256
+    cfg = CodecConfig(rate_hz=44100, n_chan=1, block_size=n)
+    rng_np = np.random.default_rng(77)
+    blocks = np.asarray(
+        0.25 * rng_np.standard_normal((t, cfg.n_chan, n)), np.float32
+    )
+    bj = jnp.asarray(blocks)
+    out_full, _ = jax.jit(
+        lambda b: encode_stream(b, cfg, "vbr", quality=40.0)
+    )(bj)
+    cfg2 = dataclasses.replace(cfg, fold_bitstream=2)
+    out_f2, _ = jax.jit(
+        lambda b: encode_stream(b, cfg2, "vbr", quality=40.0)
+    )(bj)
+    np.testing.assert_array_equal(
+        np.asarray(out_f2.size_bits), np.asarray(out_full.size_bits)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_f2.data), np.asarray(out_full.data)
+    )
