@@ -3,9 +3,10 @@ stereo bs4096 / P=8192 (default), mono bs8192 / P=8192 ("mono8192"),
 stereo bs8192 / P=16384 ("stereo8192"), mono bs16384 / P=16384
 ("mono16384"), stereo bs16384 / P=32768 ("stereo16384"), mono bs32768 /
 P=32768 ("mono32768" — the top of the reference envelope), and the
-multichannel shapes "4ch4096" (n_chan=4 bs4096, P=16384) and "5ch2048"
-(n_chan=5 bs2048, P=10240 — odd channel count exercises the unpaired
-M/S tail channel).
+multichannel shapes "4ch4096" (n_chan=4 bs4096, P=16384), "8ch4096"
+(n_chan=8 bs4096, P=32768 — the envelope top reached via channels, not
+block size) and "5ch2048" (n_chan=5 bs2048, P=10240 — odd channel
+count exercises the unpaired M/S tail channel).
 
 The threshold-keep v3 kernel's packed fields hold the reference's full
 BLOCK envelope P <= 32768 (segdelta 16-bit segment length, state ncp
@@ -20,7 +21,7 @@ position carry, pallas_decode docstring).
 
 Usage: python devtools/p8192_check.py [mono8192|stereo8192|mono16384|
                                        stereo16384|mono32768|4ch4096|
-                                       5ch2048]
+                                       8ch4096|5ch2048]
 """
 
 from __future__ import annotations
@@ -69,6 +70,8 @@ def main():
         n, c = 32768, 1
     elif mode == "4ch4096":
         n, c = 4096, 4
+    elif mode == "8ch4096":
+        n, c = 4096, 8
     elif mode == "5ch2048":
         n, c = 2048, 5
     # P=32768 at B=128 exceeds HBM (the batched analysis candidates
